@@ -1,0 +1,123 @@
+"""Parquet COO ingest → packed bit planes (the MatrixTable transpose).
+
+The reference reads every ``*.parquet`` blob into memory on a 36-thread pool,
+batch-decodes the three columns, and scatters atomic bit-clears into the
+shared unified-memory bitset (cuking.cu:526-711).  Here each worker thread
+whole-reads a file, decodes it with Arrow's native C++ reader (pyarrow), and
+scatters vectorized bit-clears into the shared numpy plane array — either via
+the bincount OR-accumulation (bitset.clear_bits_coo) under a lock, or via the
+lock-free atomic C++ packer (native/packer.cpp) when built.
+
+Schema contract (enforced like cuking.cu:585-671): exactly 3 columns, by
+position: row_idx INT64 (site), col_idx INT64 (sample), n_alt_alleles INT32.
+Column NAMES are not checked, matching the reference.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cuking_tpu.io.uri import Storage
+from cuking_tpu.models.king import PanelStorage
+from cuking_tpu.ops import bitset
+from cuking_tpu.utils.status import FailedPreconditionError
+from cuking_tpu.utils.stopwatch import StageLogger
+
+_EXPECTED_TYPES = (pa.int64(), pa.int64(), pa.int32())
+
+
+def _decode_file(buf: bytes, source: str):
+    """One Parquet blob → (row_idx, col_idx, n_alt_alleles) numpy arrays,
+    with the reference's positional schema checks (cuking.cu:585-671)."""
+    try:
+        table = pq.read_table(io.BytesIO(buf))
+    except Exception as e:  # pyarrow raises various ArrowInvalid subclasses
+        raise FailedPreconditionError(f"Error reading {source}: {e}")
+    if table.num_columns != 3:
+        raise FailedPreconditionError(
+            f"Expected 3 columns, found {table.num_columns} in {source}"
+        )
+    cols = []
+    for idx, expected in enumerate(_EXPECTED_TYPES):
+        col = table.column(idx)
+        if col.type != expected:
+            raise FailedPreconditionError(
+                f"Expected {expected} type, found {col.type} in {source}"
+            )
+        cols.append(col.to_numpy(zero_copy_only=False))
+    return cols[0], cols[1], cols[2]
+
+
+def ingest_parquet(
+    storage: Storage,
+    input_files: list[str],
+    panel_storage: PanelStorage,
+    *,
+    num_reader_threads: int = 36,
+    logger: StageLogger | None = None,
+    use_native: bool | None = None,
+) -> None:
+    """Populates ``panel_storage.planes`` from the input files in parallel.
+
+    Mirrors the ParallelFor ingest loop (cuking.cu:547-711): per file, read →
+    decode → drop samples outside this shard's Submatrix → scatter bit-clears
+    keyed by n_alt_alleles.  Raises on the first error, like ParallelFor's
+    single-error propagation (cuking.cu:415-433).
+    """
+    logger = logger or StageLogger(enabled=False)
+    submatrix = panel_storage.submatrix
+    planes = panel_storage.planes
+    layout = panel_storage.layout
+
+    native = None
+    if use_native is not False:
+        try:
+            from cuking_tpu.native import packer as native_packer
+
+            native = native_packer if native_packer.available() else None
+        except Exception:
+            native = None
+        if use_native and native is None:
+            raise FailedPreconditionError("Native packer requested but unavailable")
+
+    scatter_lock = threading.Lock()
+    progress = {"count": 0}
+
+    def process(path: str) -> None:
+        buf = storage.read_bytes(path)
+        row_idx, col_idx, n_alt = _decode_file(buf, path)
+        # Skip samples outside this shard (cuking.cu:676-678).
+        keep = submatrix.contains(col_idx)
+        row_idx, col_idx, n_alt = row_idx[keep], col_idx[keep], n_alt[keep]
+        offsets = panel_storage.storage_offsets(col_idx)
+        if native is not None:
+            # Lock-free: relaxed atomic AND per word, safe under concurrent
+            # writers exactly like the reference's AtomicClearBit
+            # (cuking.cu:316-323).
+            native.clear_bits(planes, layout, offsets, row_idx, n_alt, source=path)
+        else:
+            with scatter_lock:
+                bitset.clear_bits_coo(
+                    planes, layout, offsets, row_idx, n_alt, source=path
+                )
+        with scatter_lock:
+            progress["count"] += 1
+            if progress["count"] % 1024 == 0:
+                logger.dot()
+
+    errors: list[BaseException] = []
+    with ThreadPoolExecutor(max_workers=num_reader_threads) as pool:
+        futures = [pool.submit(process, p) for p in input_files]
+        for fut in futures:
+            try:
+                fut.result()
+            except BaseException as e:  # propagate one error (cuking.cu:414-432)
+                errors.append(e)
+    if errors:
+        raise errors[0]

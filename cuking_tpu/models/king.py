@@ -1,0 +1,317 @@
+"""KingEngine — the flagship model: all-pairs KING over packed planes.
+
+This is the TPU-native equivalent of the reference's host pipeline + kernel
+launch (cuking.cu:435-751), redesigned for XLA's compilation model:
+
+* The pair matrix is swept in fixed-size **sample panels** (default 1024).
+  One jitted panel-pair step — dynamic-slice panels out of HBM, run a count
+  kernel, apply the fp32 epilogue, threshold, compact — is compiled ONCE and
+  replayed over every (i-panel, j-panel) with i ≤ j.  Static shapes
+  throughout; no data-dependent control flow inside jit.
+* Within a panel pair, the count kernel is selectable: ``popcount`` (VPU
+  semantics baseline), ``matmul`` (XLA int8 MXU), or ``pallas`` (fused
+  unpack+matmul TPU kernel, the fast path).
+* Sample storage follows the reference's shard layout: the Submatrix i-range
+  stored before the j-range (cuking.cu:171-175), each padded to a panel
+  multiple with all-missing samples (padding self-masks: zero counters, NaN
+  kin, masked by validity anyway).
+* Results: each step emits ≤ panel² hits compacted on device; the host
+  accumulates, enforces ``max_results`` globally (ResourceExhausted on
+  overflow, cuking.cu:747-751), and finally sorts by (i, j, kin)
+  (cuking.cu:761-765).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuking_tpu.ops import bitset
+from cuking_tpu.ops.bitset import PlaneLayout
+from cuking_tpu.ops.compaction import CompactedPanel, compact_panel
+from cuking_tpu.ops.king_jnp import panel_counts_popcount
+from cuking_tpu.ops.king_math import king_from_counts
+from cuking_tpu.ops.king_mm import panel_counts_matmul
+from cuking_tpu.parallel.submatrix import Submatrix
+from cuking_tpu.utils.status import InvalidArgumentError, ResourceExhaustedError
+from cuking_tpu.utils.stopwatch import StageLogger
+
+DEFAULT_KIN_THRESHOLD = 0.0884  # 2nd degree or closer (cuking.cu:43-45)
+DEFAULT_MAX_RESULTS = 10 << 20  # cuking.cu:40-41
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+def _ceil_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@dataclass(frozen=True)
+class KingConfig:
+    """Runtime knobs; defaults mirror the reference's flags (cuking.cu:27-52)."""
+
+    kin_threshold: float = DEFAULT_KIN_THRESHOLD
+    max_results: int = DEFAULT_MAX_RESULTS
+    panel: int = 1024               # samples per panel (pair tile edge)
+    kernel: str = "auto"            # auto | popcount | matmul | pallas
+    site_chunk_words: int = 512     # uint32 words per site-chunk in mm/pallas
+    popcount_row_block: int = 8     # i-rows per popcount map step
+    verbose: bool = False
+
+
+@dataclass
+class ResultSet:
+    """Thresholded pairs, globally indexed, sorted by (i, j, kin)."""
+
+    i_idx: np.ndarray   # int32 global sample indices
+    j_idx: np.ndarray
+    kin: np.ndarray     # float32
+    ibs0: np.ndarray    # int32
+    ibs1: np.ndarray
+    ibs2: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.i_idx)
+
+    @classmethod
+    def concat_and_sort(cls, parts: list["ResultSet"]) -> "ResultSet":
+        if not parts:
+            z = np.zeros(0, np.int32)
+            return cls(z, z, np.zeros(0, np.float32), z.copy(), z.copy(), z.copy())
+        fields = {
+            name: np.concatenate([getattr(p, name) for p in parts])
+            for name in ("i_idx", "j_idx", "kin", "ibs0", "ibs1", "ibs2")
+        }
+        # Sort by (i, j, kin) ascending, like cuking.cu:761-765.
+        order = np.lexsort((fields["kin"], fields["j_idx"], fields["i_idx"]))
+        return cls(**{k: v[order] for k, v in fields.items()})
+
+
+def _resolve_kernel(config: KingConfig) -> Callable:
+    name = config.kernel
+    if name == "auto":
+        name = "pallas" if jax.default_backend() == "tpu" else "matmul"
+    if name == "popcount":
+        return partial(panel_counts_popcount, row_block=config.popcount_row_block)
+    if name == "matmul":
+        return partial(panel_counts_matmul, site_chunk_words=config.site_chunk_words)
+    if name == "pallas":
+        from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
+        return partial(
+            panel_counts_pallas, site_chunk_words=config.site_chunk_words
+        )
+    raise InvalidArgumentError(f"Unknown kernel: {config.kernel}")
+
+
+class PanelStorage:
+    """Padded on-host plane storage in the reference's shard layout.
+
+    The Submatrix i-range is stored first, then (for off-diagonal shards) the
+    j-range (cuking.cu:171-175); each section is padded up to a panel multiple
+    with all-missing samples so every jitted panel slice has identical shape.
+    """
+
+    def __init__(self, layout: PlaneLayout, submatrix: Submatrix, panel: int):
+        self.layout = layout
+        self.submatrix = submatrix
+        self.panel = panel
+        self.nr = submatrix.num_rows
+        self.nc = submatrix.num_cols
+        self.nr_pad = max(_ceil_div(self.nr, panel), 1) * panel
+        if submatrix.is_diagonal:
+            self.nc_pad = self.nr_pad
+            self.j_store_base = 0
+            total = self.nr_pad
+        else:
+            self.nc_pad = max(_ceil_div(self.nc, panel), 1) * panel
+            self.j_store_base = self.nr_pad
+            total = self.nr_pad + self.nc_pad
+        self.planes = bitset.allocate_planes(total, layout)
+
+    def storage_offsets(self, global_idx: np.ndarray) -> np.ndarray:
+        """Global sample index → padded storage row; callers must only pass
+        indices with ``submatrix.contains(idx)`` true (cf. cuking.cu:675-678)."""
+        sm = self.submatrix
+        return np.where(
+            global_idx < sm.i_end,
+            global_idx - sm.i_begin,
+            self.j_store_base + (global_idx - sm.j_begin),
+        )
+
+    @property
+    def num_i_panels(self) -> int:
+        return self.nr_pad // self.panel
+
+    @property
+    def num_j_panels(self) -> int:
+        return self.nc_pad // self.panel
+
+    def i_panel(self, k: int) -> tuple[int, int, int]:
+        """→ (storage offset, global base index, valid sample count)."""
+        off = k * self.panel
+        return off, self.submatrix.i_begin + off, max(0, min(self.panel, self.nr - off))
+
+    def j_panel(self, k: int) -> tuple[int, int, int]:
+        off = k * self.panel
+        return (
+            self.j_store_base + off,
+            self.submatrix.j_begin + off,
+            max(0, min(self.panel, self.nc - off)),
+        )
+
+
+class KingEngine:
+    """Single-process KING driver for one shard (whole matrix if
+    split_factor=1)."""
+
+    def __init__(
+        self,
+        storage: PanelStorage,
+        config: KingConfig | None = None,
+        logger: StageLogger | None = None,
+    ):
+        self.config = config or KingConfig()
+        self.storage = storage
+        self.logger = logger or StageLogger(enabled=self.config.verbose)
+        self._kernel = _resolve_kernel(self.config)
+        self._step = self._build_step()
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_genotypes(
+        cls,
+        genotypes: np.ndarray,
+        config: KingConfig | None = None,
+        submatrix: Submatrix | None = None,
+        words_multiple: int | None = None,
+    ) -> "KingEngine":
+        """Test/synthetic convenience: dense [N, S] genotypes → engine."""
+        config = config or KingConfig()
+        n, s = genotypes.shape
+        submatrix = submatrix or Submatrix.create(n, 1, 0)
+        wm = words_multiple or min(bitset.DEFAULT_WORDS_MULTIPLE,
+                                   max(16, config.site_chunk_words))
+        layout = PlaneLayout.create(s, words_multiple=wm)
+        storage = PanelStorage(layout, submatrix, config.panel)
+        stored = submatrix.stored_sample_indices()
+        offsets = storage.storage_offsets(stored)
+        storage.planes[:, offsets, :] = bitset.pack_genotypes(
+            genotypes[stored], layout
+        )
+        return cls(storage, config)
+
+    # -- the jitted panel-pair step ----------------------------------------
+
+    def _build_step(self):
+        panel = self.config.panel
+        words = self.storage.layout.words
+        capacity = panel * panel  # exact: per-panel overflow impossible
+        kernel = self._kernel
+
+        @partial(jax.jit, static_argnums=())
+        def step(
+            planes: jnp.ndarray,       # [2, total, W] uint32 (device)
+            i_off: jnp.ndarray,        # scalar int32 storage offsets
+            j_off: jnp.ndarray,
+            gi_base: jnp.ndarray,      # scalar int32 global index bases
+            gj_base: jnp.ndarray,
+            ni_valid: jnp.ndarray,     # scalar int32 valid sample counts
+            nj_valid: jnp.ndarray,
+            threshold: jnp.ndarray,    # scalar float32
+        ) -> CompactedPanel:
+            pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
+            pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
+            counts = kernel(pi, pj)
+            res = king_from_counts(counts)
+
+            local = jnp.arange(panel, dtype=jnp.int32)
+            gi = gi_base + local
+            gj = gj_base + local
+            valid = (local < ni_valid)[:, None] & (local < nj_valid)[None, :]
+            # Strict upper triangle on GLOBAL indices (cuking.cu:199).
+            pair_ok = (gi[:, None] < gj[None, :]) & valid
+            # Strict > threshold (cuking.cu:297); NaN kin never passes.
+            mask = pair_ok & (res.kin > threshold)
+
+            gi2 = jnp.broadcast_to(gi[:, None], (panel, panel))
+            gj2 = jnp.broadcast_to(gj[None, :], (panel, panel))
+            return compact_panel(
+                mask, gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2, capacity
+            )
+
+        return step
+
+    # -- driver --------------------------------------------------------------
+
+    def run(self) -> ResultSet:
+        """Sweeps all (i-panel, j-panel) pairs of the shard and returns the
+        thresholded, sorted results."""
+        cfg = self.config
+        st = self.storage
+        planes_dev = jnp.asarray(st.planes)
+        threshold = jnp.float32(cfg.kin_threshold)
+        diagonal = st.submatrix.is_diagonal
+
+        parts: list[ResultSet] = []
+        total = 0
+        self.logger.begin(
+            f"Running KING kernel for {st.nr} x {st.nc} matrix"
+            f" ({st.num_i_panels}x{st.num_j_panels} panels)..."
+        )
+        for ip in range(st.num_i_panels):
+            i_off, gi_base, ni_valid = st.i_panel(ip)
+            if ni_valid == 0:
+                continue
+            jp_start = ip if diagonal else 0
+            for jp in range(jp_start, st.num_j_panels):
+                j_off, gj_base, nj_valid = st.j_panel(jp)
+                if nj_valid == 0:
+                    continue
+                out = self._step(
+                    planes_dev,
+                    jnp.int32(i_off),
+                    jnp.int32(j_off),
+                    jnp.int32(gi_base),
+                    jnp.int32(gj_base),
+                    jnp.int32(ni_valid),
+                    jnp.int32(nj_valid),
+                    threshold,
+                )
+                count = int(out.total)
+                if count == 0:
+                    continue
+                total += count
+                # Fetch only a power-of-two prefix to bound host transfer and
+                # slice-op compilation churn.
+                n_fetch = min(_ceil_pow2(count), cfg.panel * cfg.panel)
+                parts.append(
+                    ResultSet(
+                        i_idx=np.asarray(out.i_idx[:n_fetch][:count]),
+                        j_idx=np.asarray(out.j_idx[:n_fetch][:count]),
+                        kin=np.asarray(out.kin[:n_fetch][:count]),
+                        ibs0=np.asarray(out.ibs0[:n_fetch][:count]),
+                        ibs1=np.asarray(out.ibs1[:n_fetch][:count]),
+                        ibs2=np.asarray(out.ibs2[:n_fetch][:count]),
+                    )
+                )
+        self.logger.end("king_kernel")
+
+        if total > cfg.max_results:
+            # Same failure contract as cuking.cu:747-751.
+            raise ResourceExhaustedError(
+                "Could not store all results: try increasing the "
+                "--max_results parameter."
+            )
+        self.logger.print(f"Processing {total} results...")
+        return ResultSet.concat_and_sort(parts)

@@ -1,0 +1,185 @@
+"""Packed 2-bit-plane genotype store — the TPU-native layout.
+
+Semantics contract (mirrors cuking.cu:507-524, 674-703):
+
+* Each sample has two bit planes: ``het`` and ``hom`` (hom-alt).  A genotype is
+  encoded as (het, hom) ∈ {(0,0) hom-ref, (1,0) het, (0,1) hom-var,
+  (1,1) missing}.
+* Planes are initialized to ALL ONES (= everything missing), and ingest only
+  ever CLEARS bits: ``n_alt_alleles == 0`` clears both, ``1`` clears hom,
+  ``2`` clears het; anything else is a hard error (cuking.cu:687-702).
+* Site padding past ``num_sites`` is never written, stays missing, and
+  therefore self-masks out of every counter (cuking.cu:497-500, 522-523).
+
+Layout (TPU-native, deliberately different from the reference's interleaved
+per-sample uint64 blob): planes are a single ``uint32`` array of shape
+``[2, num_stored_samples, W]`` — plane 0 = het, plane 1 = hom — where
+``W = ceil(num_sites / 32)`` rounded up to a lane-friendly multiple.  32-bit
+words match the TPU's native lane width and ``jax.lax.population_count``.
+
+Site → (word, bit) mapping is **bit-plane-major**: site ``s`` lives in word
+``s % W`` at bit ``s // W``.  All six KING counters are permutation-invariant
+sums over sites, so any fixed site permutation is valid; this one makes the
+in-kernel unpack fully vectorized with zero lane shuffles::
+
+    unpacked[:, b * W + w] = (words[:, w] >> b) & 1    # 32 shift-ANDs + concat
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cuking_tpu.utils.status import FailedPreconditionError
+
+HET, HOM = 0, 1  # plane indices
+
+# Default word-count multiple: keeps W divisible by every Pallas site-chunk
+# size we use, and the lane dimension (128) aligned.
+DEFAULT_WORDS_MULTIPLE = 512
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return (a + b - 1) // b
+
+
+@dataclass(frozen=True)
+class PlaneLayout:
+    """Describes the packed-plane geometry for a given number of sites."""
+
+    num_sites: int
+    words: int  # W: uint32 words per plane per sample
+
+    @classmethod
+    def create(
+        cls, num_sites: int, words_multiple: int = DEFAULT_WORDS_MULTIPLE
+    ) -> "PlaneLayout":
+        if num_sites <= 0:
+            raise FailedPreconditionError(f"Invalid num_sites: {num_sites}")
+        words = _ceil_div(_ceil_div(num_sites, 32), words_multiple) * words_multiple
+        return cls(num_sites=num_sites, words=words)
+
+    @property
+    def padded_sites(self) -> int:
+        return 32 * self.words
+
+    def site_to_word_bit(self, sites: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized site index → (word, bit) under the bit-plane-major map."""
+        sites = np.asarray(sites)
+        return sites % self.words, sites // self.words
+
+    def bytes_per_sample(self) -> int:
+        return 2 * self.words * 4
+
+
+def allocate_planes(num_stored_samples: int, layout: PlaneLayout) -> np.ndarray:
+    """All-ones planes: every site of every sample starts missing
+    (cuking.cu:520-523)."""
+    return np.full(
+        (2, num_stored_samples, layout.words), 0xFFFFFFFF, dtype=np.uint32
+    )
+
+
+def clear_bits_coo(
+    planes: np.ndarray,
+    layout: PlaneLayout,
+    sample_offsets: np.ndarray,
+    site_indices: np.ndarray,
+    n_alt_alleles: np.ndarray,
+    *,
+    source: str = "<input>",
+    assume_unique: bool = True,
+) -> None:
+    """Scatter COO genotype entries into the planes by clearing bits.
+
+    Vectorized equivalent of the reference's per-entry AtomicClearBit loop
+    (cuking.cu:675-703): ``n_alt_alleles`` 0 clears het+hom, 1 clears hom,
+    2 clears het, anything else raises FailedPreconditionError.
+
+    ``assume_unique=True`` (the Hail/Spark export guarantees one entry per
+    (sample, site)) enables a bincount-based OR-accumulation that is much
+    faster than ``np.bitwise_or.at``.  With ``assume_unique=False`` duplicate
+    entries are deduplicated first.
+    """
+    n_alt = np.asarray(n_alt_alleles)
+    if n_alt.size == 0:
+        return
+    bad = (n_alt < 0) | (n_alt > 2)
+    if np.any(bad):
+        bad_val = int(n_alt[bad][0])
+        raise FailedPreconditionError(
+            f"Invalid value for n_alt_alleles ({bad_val}) encountered in {source}"
+        )
+
+    sample_offsets = np.asarray(sample_offsets, dtype=np.int64)
+    word, bit = layout.site_to_word_bit(np.asarray(site_indices, dtype=np.int64))
+    if np.any((site_indices < 0) | (np.asarray(site_indices) >= layout.num_sites)):
+        raise FailedPreconditionError(
+            f"Site index out of range [0, {layout.num_sites}) in {source}"
+        )
+    lin = sample_offsets * layout.words + word  # linear word index within a plane
+
+    plane_size = planes.shape[1] * planes.shape[2]
+    flat = planes.reshape(2, plane_size)
+
+    # het plane cleared for n_alt in {0, 2}; hom plane for n_alt in {0, 1}.
+    for plane, sel in ((HET, n_alt != 1), (HOM, n_alt != 2)):
+        lin_p, bit_p = lin[sel], bit[sel]
+        if lin_p.size == 0:
+            continue
+        if not assume_unique:
+            keys = np.unique((lin_p << 5) | bit_p)
+            lin_p, bit_p = keys >> 5, keys & 31
+        # OR-accumulate clear masks: with unique (word, bit) pairs, a weighted
+        # bincount of powers of two is an exact bitwise OR (sums of distinct
+        # powers of two < 2^32 are exact in float64).
+        acc = np.bincount(
+            lin_p, weights=(1 << bit_p).astype(np.float64), minlength=plane_size
+        )
+        acc = acc.astype(np.uint32)
+        flat[plane] &= ~acc
+
+
+def pack_genotypes(genotypes: np.ndarray, layout: PlaneLayout) -> np.ndarray:
+    """Packs a dense genotype matrix ``[N, S]`` (values 0/1/2, -1 = missing)
+    into planes ``[2, N, W]``.  Test/synthetic convenience; ingest uses
+    :func:`clear_bits_coo`.
+    """
+    n, s = genotypes.shape
+    if s != layout.num_sites:
+        raise ValueError(f"genotypes has {s} sites, layout expects {layout.num_sites}")
+    g = np.asarray(genotypes)
+    # Bit value 1 = "set": het bit set for het or missing; hom bit set for
+    # hom-var or missing; padding sites all set.
+    het_bits = np.ones((n, layout.padded_sites), dtype=np.uint32)
+    hom_bits = np.ones((n, layout.padded_sites), dtype=np.uint32)
+    het_bits[:, :s] = (g == 1) | (g == -1)
+    hom_bits[:, :s] = (g == 2) | (g == -1)
+
+    planes = np.empty((2, n, layout.words), dtype=np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)[None, :, None]
+    for plane, bits in ((HET, het_bits), (HOM, hom_bits)):
+        # site s = b * W + w  →  reshape to [N, 32, W] with b on axis 1
+        b_major = bits.reshape(n, 32, layout.words)
+        planes[plane] = np.bitwise_or.reduce(b_major << shifts, axis=1)
+    return planes
+
+
+def unpack_plane_np(words: np.ndarray, layout: PlaneLayout) -> np.ndarray:
+    """Inverse of the packing for one plane: ``[N, W]`` uint32 → ``[N, 32W]``
+    uint8 bits in site order (numpy; the jnp twin lives in king_mm.py)."""
+    cols = [((words >> np.uint32(b)) & np.uint32(1)).astype(np.uint8) for b in range(32)]
+    return np.concatenate(cols, axis=1)
+
+
+def planes_to_genotypes(planes: np.ndarray, layout: PlaneLayout) -> np.ndarray:
+    """Decodes planes back to a dense genotype matrix (-1 = missing); test
+    round-trip helper."""
+    het = unpack_plane_np(planes[HET], layout)[:, : layout.num_sites]
+    hom = unpack_plane_np(planes[HOM], layout)[:, : layout.num_sites]
+    g = np.full(het.shape, -1, dtype=np.int8)
+    g[(het == 0) & (hom == 0)] = 0
+    g[(het == 1) & (hom == 0)] = 1
+    g[(het == 0) & (hom == 1)] = 2
+    return g
