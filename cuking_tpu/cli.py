@@ -1,0 +1,150 @@
+"""cuking_tpu CLI — the end-to-end pipeline (reference: cuking.cu:435-895).
+
+Same eight flags as the reference binary (cuking.cu:27-52), same validation,
+same stage structure: read metadata → build shard Submatrix → allocate planes
+→ list+ingest Parquet in parallel → all-pairs KING (here: jitted panel sweep
+on the TPU instead of one CUDA kernel launch) → overflow check → sort →
+write one Snappy Parquet partition per shard.
+
+Usage::
+
+    python -m cuking_tpu.cli --input_uri gs://bucket/in.parquet \
+        --output_uri gs://bucket/out.parquet --kin_threshold 0.0884 \
+        --split_factor 4 --shard_index 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cuking_tpu.io.metadata import read_metadata
+from cuking_tpu.io.parquet_ingest import ingest_parquet
+from cuking_tpu.io.uri import Storage
+from cuking_tpu.io.writer import write_results
+from cuking_tpu.models.king import (
+    DEFAULT_KIN_THRESHOLD,
+    DEFAULT_MAX_RESULTS,
+    KingConfig,
+    KingEngine,
+    PanelStorage,
+)
+from cuking_tpu.ops.bitset import PlaneLayout
+from cuking_tpu.parallel.submatrix import Submatrix, num_shards
+from cuking_tpu.utils.status import (
+    CukingError,
+    FailedPreconditionError,
+    InvalidArgumentError,
+)
+from cuking_tpu.utils.stopwatch import StageLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cuking_tpu",
+        description="TPU-native KING relatedness over cuKING-format Parquet inputs.",
+    )
+    p.add_argument("--input_uri", default="", help=(
+        "Directory (local or gs://) containing the packed Parquet tables "
+        "and metadata.json"))
+    p.add_argument("--output_uri", default="", help=(
+        "Directory (local or gs://) to write the Parquet result partition to"))
+    p.add_argument("--requester_pays_project", default="", help=(
+        "User project for accessing Requester Pays buckets on GCS"))
+    p.add_argument("--num_reader_threads", type=int, default=36, help=(
+        "Threads for parallel Parquet ingest"))
+    p.add_argument("--max_results", type=int, default=DEFAULT_MAX_RESULTS, help=(
+        "Capacity of the related-pair result buffer; exceeding it is an error"))
+    p.add_argument("--kin_threshold", type=float, default=DEFAULT_KIN_THRESHOLD,
+                   help=("Only store kinship coefficients strictly larger than "
+                         "this threshold (default: 2nd degree or closer)"))
+    p.add_argument("--split_factor", type=int, default=1, help=(
+        "Split the relatedness matrix into k x k submatrices for sharding"))
+    p.add_argument("--shard_index", type=int, default=0, help=(
+        "Shard index in [0, split_factor*(split_factor+1)/2)"))
+    # TPU-specific extensions (no reference counterpart):
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "popcount", "matmul", "pallas"],
+                   help="Count-kernel implementation")
+    p.add_argument("--panel", type=int, default=1024,
+                   help="Samples per panel (pair-tile edge) in the jitted sweep")
+    p.add_argument("--quiet", action="store_true", help="Suppress stage logs")
+    return p
+
+
+def run(args: argparse.Namespace) -> None:
+    # Flag validation, mirroring cuking.cu:436-465.
+    if not args.input_uri:
+        raise InvalidArgumentError("No input URI specified")
+    if not args.output_uri:
+        raise InvalidArgumentError("No output URI specified")
+    if args.num_reader_threads <= 0:
+        raise InvalidArgumentError("Invalid number of reader threads")
+    if args.split_factor <= 0:
+        raise InvalidArgumentError("Invalid split factor")
+    if args.shard_index >= num_shards(args.split_factor) or args.shard_index < 0:
+        raise InvalidArgumentError("Invalid shard index")
+
+    logger = StageLogger(enabled=not args.quiet)
+    storage = Storage(requester_pays_project=args.requester_pays_project)
+
+    logger.begin("Reading metadata...")
+    metadata = read_metadata(storage, args.input_uri)
+    logger.end("metadata")
+
+    submatrix = Submatrix.create(
+        metadata.num_samples, args.split_factor, args.shard_index
+    )
+    config = KingConfig(
+        kin_threshold=args.kin_threshold,
+        max_results=args.max_results,
+        panel=args.panel,
+        kernel=args.kernel,
+        verbose=not args.quiet,
+    )
+
+    layout = PlaneLayout.create(metadata.num_sites)
+    panel_storage = PanelStorage(layout, submatrix, config.panel)
+    mib = panel_storage.planes.nbytes >> 20
+    logger.print(f"Allocated {mib} MiB of memory for bit planes.")
+
+    logger.begin("Listing input files...")
+    input_files = storage.list_parquet_files(args.input_uri)
+    logger.end("listing")
+    if not input_files:
+        raise FailedPreconditionError("No input files found")
+    logger.print(f"Found {len(input_files)} input files.")
+
+    logger.begin("Processing Parquet tables...")
+    ingest_parquet(
+        storage,
+        input_files,
+        panel_storage,
+        num_reader_threads=args.num_reader_threads,
+        logger=logger,
+    )
+    logger.end("ingest")
+
+    engine = KingEngine(panel_storage, config, logger=logger)
+    results = engine.run()
+
+    logger.begin(f"Writing {len(results)} results...")
+    uri = write_results(
+        storage, args.output_uri, results, metadata.samples, args.shard_index
+    )
+    logger.end("write")
+    logger.print(f"Wrote {uri}.")
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        run(args)
+    except CukingError as e:
+        print(f"\nError: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

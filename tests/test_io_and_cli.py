@@ -1,0 +1,227 @@
+"""IO-layer and end-to-end CLI tests: Parquet ingest, result writer, golden
+parity vs the oracle, shard fan-out merge, error surfaces."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cuking_tpu import cli
+from cuking_tpu.io.metadata import read_metadata
+from cuking_tpu.io.parquet_ingest import ingest_parquet
+from cuking_tpu.io.synthetic_input import write_synthetic_input
+from cuking_tpu.io.uri import Storage, split_gcs_uri
+from cuking_tpu.io.writer import read_results_table
+from cuking_tpu.models.king import KingConfig, PanelStorage
+from cuking_tpu.ops.bitset import PlaneLayout, pack_genotypes
+from cuking_tpu.parallel.submatrix import Submatrix, num_shards
+from cuking_tpu.utils.status import FailedPreconditionError, InvalidArgumentError
+from cuking_tpu.utils.synthetic import random_genotypes
+
+from tests.test_engine import oracle_resultset
+
+
+def make_input(tmp_path, g, num_partitions=3):
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri, exist_ok=True)
+    write_synthetic_input(storage, input_uri, g, num_partitions=num_partitions)
+    return storage, input_uri
+
+
+def test_split_gcs_uri():
+    assert split_gcs_uri("gs://bucket/a/b") == ("bucket", "a/b")
+    with pytest.raises(InvalidArgumentError, match="Unsupported URI"):
+        split_gcs_uri("s3://bucket/a")
+    with pytest.raises(InvalidArgumentError, match="Incomplete blob URI"):
+        split_gcs_uri("gs://bucket")
+
+
+def test_metadata_roundtrip(tmp_path):
+    g = random_genotypes(5, 50, seed=0)
+    storage, input_uri = make_input(tmp_path, g)
+    md = read_metadata(storage, input_uri)
+    assert md.num_sites == 50
+    assert md.samples == [f"S{k:06d}" for k in range(5)]
+
+
+def test_listing_skips_non_parquet(tmp_path):
+    g = random_genotypes(4, 30, seed=1)
+    storage, input_uri = make_input(tmp_path, g, num_partitions=2)
+    # Spark leaves behind _SUCCESS and _temporary dirs; listing must skip them
+    # (cuking.cu:530-538).
+    open(os.path.join(input_uri, "_SUCCESS"), "w").close()
+    os.makedirs(os.path.join(input_uri, "_temporary"), exist_ok=True)
+    files = storage.list_parquet_files(input_uri)
+    assert len(files) == 2
+    assert all(f.endswith(".parquet") for f in files)
+
+
+@pytest.mark.parametrize("use_native", [False, None])
+def test_ingest_reconstructs_planes(tmp_path, use_native):
+    g = random_genotypes(31, 700, missing_rate=0.2, seed=2)
+    storage, input_uri = make_input(tmp_path, g, num_partitions=5)
+    md = read_metadata(storage, input_uri)
+    layout = PlaneLayout.create(md.num_sites, words_multiple=32)
+    sm = Submatrix.create(md.num_samples, 1, 0)
+    ps = PanelStorage(layout, sm, panel=16)
+    ingest_parquet(
+        storage, storage.list_parquet_files(input_uri), ps,
+        num_reader_threads=4, use_native=use_native,
+    )
+    expected = pack_genotypes(g, layout)
+    assert np.array_equal(ps.planes[:, : md.num_samples], expected)
+
+
+def test_ingest_shard_filters_samples(tmp_path):
+    g = random_genotypes(20, 100, missing_rate=0.1, seed=3)
+    storage, input_uri = make_input(tmp_path, g)
+    layout = PlaneLayout.create(100, words_multiple=16)
+    sm = Submatrix.create(20, 2, 1)  # off-diagonal block (0,1): rows 0-10, cols 10-20
+    ps = PanelStorage(layout, sm, panel=8)
+    ingest_parquet(storage, storage.list_parquet_files(input_uri), ps,
+                   num_reader_threads=2, use_native=False)
+    stored = sm.stored_sample_indices()
+    offsets = ps.storage_offsets(stored)
+    expected = pack_genotypes(g[stored], layout)
+    assert np.array_equal(ps.planes[:, offsets], expected)
+
+
+def test_ingest_rejects_wrong_schema(tmp_path):
+    bad = pa.Table.from_arrays(
+        [pa.array([1], type=pa.int32()), pa.array([2], type=pa.int64()),
+         pa.array([0], type=pa.int32())],
+        names=["row_idx", "col_idx", "n_alt_alleles"],
+    )
+    input_uri = tmp_path / "bad.parquet"
+    os.makedirs(input_uri, exist_ok=True)
+    pq.write_table(bad, str(input_uri / "part-0.parquet"))
+    storage = Storage()
+    layout = PlaneLayout.create(10, words_multiple=16)
+    ps = PanelStorage(layout, Submatrix.create(3, 1, 0), panel=4)
+    with pytest.raises(FailedPreconditionError, match="Expected int64 type, found int32"):
+        ingest_parquet(storage, storage.list_parquet_files(str(input_uri)), ps,
+                       num_reader_threads=1, use_native=False)
+
+
+def test_ingest_rejects_bad_n_alt(tmp_path):
+    t = pa.Table.from_arrays(
+        [pa.array([0], type=pa.int64()), pa.array([0], type=pa.int64()),
+         pa.array([7], type=pa.int32())],
+        names=["row_idx", "col_idx", "n_alt_alleles"],
+    )
+    input_uri = tmp_path / "bad2.parquet"
+    os.makedirs(input_uri, exist_ok=True)
+    pq.write_table(t, str(input_uri / "part-0.parquet"))
+    storage = Storage()
+    ps = PanelStorage(PlaneLayout.create(10, words_multiple=16),
+                      Submatrix.create(3, 1, 0), panel=4)
+    with pytest.raises(FailedPreconditionError, match=r"n_alt_alleles \(7\)"):
+        ingest_parquet(storage, storage.list_parquet_files(str(input_uri)), ps,
+                       num_reader_threads=1, use_native=False)
+
+
+def run_cli(args: list[str]) -> int:
+    return cli.main(args)
+
+
+def cli_common(tmp_path, extra=()):
+    return [
+        "--input_uri", str(tmp_path / "in.parquet"),
+        "--output_uri", str(tmp_path / "out.parquet"),
+        "--panel", "16", "--kernel", "matmul", "--quiet",
+        *extra,
+    ]
+
+
+def test_cli_end_to_end_golden(tmp_path):
+    g = random_genotypes(60, 500, missing_rate=0.1, seed=4, num_related_pairs=4)
+    make_input(tmp_path, g)
+    rc = run_cli(cli_common(tmp_path, ["--kin_threshold", "0.0884"]))
+    assert rc == 0
+
+    table = read_results_table(Storage(), str(tmp_path / "out.parquet"))
+    exp = oracle_resultset(g, 0.0884)
+    assert table.num_rows == len(exp)
+    ids = [f"S{k:06d}" for k in range(60)]
+    assert table.column("i").to_pylist() == [ids[k] for k in exp.i_idx]
+    assert table.column("j").to_pylist() == [ids[k] for k in exp.j_idx]
+    np.testing.assert_array_equal(
+        np.asarray(table.column("kin"), dtype=np.float32), exp.kin
+    )
+    np.testing.assert_array_equal(np.asarray(table.column("ibs0")), exp.ibs0)
+    np.testing.assert_array_equal(np.asarray(table.column("ibs1")), exp.ibs1)
+    np.testing.assert_array_equal(np.asarray(table.column("ibs2")), exp.ibs2)
+    # Schema contract (cuking.cu:767-791): required (non-null) fields.
+    f = {fld.name: fld for fld in table.schema}
+    assert f["i"].type == pa.string() and not f["i"].nullable
+    assert f["kin"].type == pa.float32()
+    assert f["ibs0"].type == pa.int32()
+
+
+def test_cli_sharded_merge_equals_unsharded(tmp_path):
+    g = random_genotypes(50, 300, missing_rate=0.1, seed=5, num_related_pairs=5)
+    make_input(tmp_path, g)
+    split = 4
+    for shard in range(num_shards(split)):
+        rc = run_cli(cli_common(tmp_path, [
+            "--kin_threshold", "0.05",
+            "--split_factor", str(split), "--shard_index", str(shard),
+        ]))
+        assert rc == 0
+    out_dir = str(tmp_path / "out.parquet")
+    parts = sorted(os.listdir(out_dir))
+    assert parts == [f"part-{k:05d}.snappy.parquet" for k in range(10)]
+
+    merged = read_results_table(Storage(), out_dir)
+    rc = run_cli([
+        "--input_uri", str(tmp_path / "in.parquet"),
+        "--output_uri", str(tmp_path / "out_unsharded.parquet"),
+        "--panel", "16", "--kernel", "matmul", "--quiet",
+        "--kin_threshold", "0.05",
+    ])
+    assert rc == 0
+    unsharded = read_results_table(Storage(), str(tmp_path / "out_unsharded.parquet"))
+    assert unsharded.num_rows > 0
+
+    def key(t):
+        return sorted(zip(t.column("i").to_pylist(), t.column("j").to_pylist(),
+                          t.column("kin").to_pylist()))
+
+    assert key(merged) == key(unsharded)
+
+
+def test_cli_flag_validation(tmp_path, capsys):
+    assert run_cli(["--output_uri", "x"]) == 1
+    assert "No input URI specified" in capsys.readouterr().err
+    assert run_cli(["--input_uri", "x"]) == 1
+    assert "No output URI specified" in capsys.readouterr().err
+    assert run_cli(["--input_uri", "x", "--output_uri", "y",
+                    "--split_factor", "0"]) == 1
+    assert "Invalid split factor" in capsys.readouterr().err
+    assert run_cli(["--input_uri", "x", "--output_uri", "y",
+                    "--split_factor", "4", "--shard_index", "10"]) == 1
+    assert "Invalid shard index" in capsys.readouterr().err
+    assert run_cli(["--input_uri", "x", "--output_uri", "y",
+                    "--num_reader_threads", "0"]) == 1
+    assert "Invalid number of reader threads" in capsys.readouterr().err
+
+
+def test_cli_no_input_files(tmp_path, capsys):
+    os.makedirs(tmp_path / "in.parquet", exist_ok=True)
+    with open(tmp_path / "in.parquet" / "metadata.json", "w") as f:
+        json.dump({"num_sites": 10, "samples": ["a", "b"]}, f)
+    assert run_cli(cli_common(tmp_path)) == 1
+    assert "No input files found" in capsys.readouterr().err
+
+
+def test_cli_max_results_overflow(tmp_path, capsys):
+    g = random_genotypes(30, 200, missing_rate=0.0, seed=6)
+    make_input(tmp_path, g)
+    rc = run_cli(cli_common(tmp_path, ["--kin_threshold", "-2.0",
+                                       "--max_results", "3"]))
+    assert rc == 1
+    assert "--max_results" in capsys.readouterr().err
