@@ -35,7 +35,6 @@ from jax import lax
 
 from cuking_tpu.ops import bitset
 from cuking_tpu.ops.bitset import PlaneLayout
-from cuking_tpu.ops.compaction import CompactedPanel, compact_panel
 from cuking_tpu.ops.king_jnp import panel_counts_popcount
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.ops.king_mm import panel_counts_matmul
@@ -65,6 +64,7 @@ class KingConfig:
     kernel: str = "auto"            # auto | popcount | matmul | pallas
     site_chunk_words: int = 512     # uint32 words per site-chunk in mm/pallas
     popcount_row_block: int = 8     # i-rows per popcount map step
+    sweep_batch: int = 64           # panel-pair steps fused into one dispatch
     verbose: bool = False
 
 
@@ -184,7 +184,20 @@ class KingEngine:
         self.storage = storage
         self.logger = logger or StageLogger(enabled=self.config.verbose)
         self._kernel = _resolve_kernel(self.config)
-        self._step = self._build_step()
+        self._sweep = self._build_sweep()
+        self._planes_dev_cache = None
+
+    @property
+    def planes_dev(self) -> jnp.ndarray:
+        """Device-resident planes; uploaded once (host→device transfers of
+        the full bitset are expensive and the planes are immutable during a
+        sweep).  Call refresh_planes() if storage.planes was mutated."""
+        if self._planes_dev_cache is None:
+            self._planes_dev_cache = jnp.asarray(self.storage.planes)
+        return self._planes_dev_cache
+
+    def refresh_planes(self) -> None:
+        self._planes_dev_cache = None
 
     # -- constructors ------------------------------------------------------
 
@@ -211,64 +224,113 @@ class KingEngine:
         )
         return cls(storage, config)
 
-    # -- the jitted panel-pair step ----------------------------------------
+    # -- the jitted batched sweep -------------------------------------------
+    #
+    # All panel-pair steps of one dispatch are fused into a lax.scan over a
+    # device-resident parameter array, so the host pays ONE dispatch + ONE
+    # fetch per batch instead of per step (host↔device latency through a TPU
+    # runtime is tens of ms; per-step syncs would dominate the ~6 ms kernel).
+    # Each step emits a small fixed-capacity hit buffer as a scan output;
+    # compaction is cond-gated so panels with zero hits (the overwhelming
+    # majority under a sane threshold) skip the scatter and only copy the
+    # small zero buffer.  A step whose hits overflow the per-step capacity is
+    # re-run through the exact fallback (capacity = panel², no loss) — the
+    # per-step totals are always exact, so overflow handling is exact too.
 
-    def _build_step(self):
+    def _pair_compute(self, planes, row):
+        """Shared per-step compute: slice panels → counts → epilogue → mask."""
         panel = self.config.panel
         words = self.storage.layout.words
-        capacity = panel * panel  # exact: per-panel overflow impossible
-        kernel = self._kernel
+        i_off, j_off, gi_base, gj_base, ni_valid, nj_valid = (
+            row[0], row[1], row[2], row[3], row[4], row[5]
+        )
+        pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
+        pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
+        res = king_from_counts(self._kernel(pi, pj))
 
-        @partial(jax.jit, static_argnums=())
-        def step(
-            planes: jnp.ndarray,       # [2, total, W] uint32 (device)
-            i_off: jnp.ndarray,        # scalar int32 storage offsets
-            j_off: jnp.ndarray,
-            gi_base: jnp.ndarray,      # scalar int32 global index bases
-            gj_base: jnp.ndarray,
-            ni_valid: jnp.ndarray,     # scalar int32 valid sample counts
-            nj_valid: jnp.ndarray,
-            threshold: jnp.ndarray,    # scalar float32
-        ) -> CompactedPanel:
-            pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
-            pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
-            counts = kernel(pi, pj)
-            res = king_from_counts(counts)
+        local = jnp.arange(panel, dtype=jnp.int32)
+        gi = gi_base + local
+        gj = gj_base + local
+        valid = (local < ni_valid)[:, None] & (local < nj_valid)[None, :]
+        # Strict upper triangle on GLOBAL indices (cuking.cu:199) and strict
+        # > threshold (cuking.cu:297); NaN kin never passes.
+        mask = valid & (gi[:, None] < gj[None, :]) & (
+            res.kin > self._threshold_ref[0]
+        )
+        gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
+        gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
+        return mask, (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
 
-            local = jnp.arange(panel, dtype=jnp.int32)
-            gi = gi_base + local
-            gj = gj_base + local
-            valid = (local < ni_valid)[:, None] & (local < nj_valid)[None, :]
-            # Strict upper triangle on GLOBAL indices (cuking.cu:199).
-            pair_ok = (gi[:, None] < gj[None, :]) & valid
-            # Strict > threshold (cuking.cu:297); NaN kin never passes.
-            mask = pair_ok & (res.kin > threshold)
+    @staticmethod
+    def _scatter_hits(mask, fields, capacity):
+        flat = mask.ravel()
+        pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
+        pos = jnp.where(flat, pos, capacity)
+        fills = (-1, -1, jnp.float32(0), 0, 0, 0)
+        return tuple(
+            jnp.full((capacity,), fill, f.dtype).at[pos].set(
+                f.ravel(), mode="drop", unique_indices=True
+            )
+            for f, fill in zip(fields, fills)
+        )
 
-            gi2 = jnp.broadcast_to(gi[:, None], (panel, panel))
-            gj2 = jnp.broadcast_to(gj[None, :], (panel, panel))
-            return compact_panel(
-                mask, gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2, capacity
+    def _build_sweep(self):
+        panel = self.config.panel
+        cap_step = int(min(panel * panel, 1 << 14))
+
+        def empty(_):
+            return (
+                jnp.full((cap_step,), -1, jnp.int32),
+                jnp.full((cap_step,), -1, jnp.int32),
+                jnp.zeros((cap_step,), jnp.float32),
+                jnp.zeros((cap_step,), jnp.int32),
+                jnp.zeros((cap_step,), jnp.int32),
+                jnp.zeros((cap_step,), jnp.int32),
             )
 
-        return step
+        def body(running, row):
+            def compute(_):
+                planes = self._planes_dev_ref[0]
+                mask, fields = self._pair_compute(planes, row)
+                total = jnp.sum(mask, dtype=jnp.int32)
 
-    # -- driver --------------------------------------------------------------
+                def compact(_):
+                    return self._scatter_hits(mask, fields, cap_step)
 
-    def run(self) -> ResultSet:
-        """Sweeps all (i-panel, j-panel) pairs of the shard and returns the
-        thresholded, sorted results."""
-        cfg = self.config
+                return total, lax.cond(total > 0, compact, empty, None)
+
+            def skip(_):  # padding rows (ni_valid == 0): no kernel launch
+                return jnp.int32(0), empty(None)
+
+            total, bufs = lax.cond(row[4] > 0, compute, skip, None)
+            return running + total, (total, bufs)
+
+        def sweep(planes, params, threshold):
+            # Closure cells thread loop-invariant operands into the scan body
+            # without widening the carry.
+            self._planes_dev_ref[0] = planes
+            self._threshold_ref[0] = threshold
+            running, (totals, bufs) = lax.scan(body, jnp.int32(0), params)
+            return running, totals, bufs
+
+        def exact_step(planes, row, threshold):
+            """Fallback for a step with > cap_step hits: full capacity."""
+            self._planes_dev_ref[0] = planes
+            self._threshold_ref[0] = threshold
+            mask, fields = self._pair_compute(planes, row)
+            return self._scatter_hits(mask, fields, panel * panel)
+
+        self._planes_dev_ref = [None]
+        self._threshold_ref = [None]
+        return jax.jit(sweep), jax.jit(exact_step), cap_step
+
+    def _panel_pair_params(self) -> np.ndarray:
+        """[num_steps, 6] int32 schedule: (i_off, j_off, gi_base, gj_base,
+        ni_valid, nj_valid) for every (i-panel, j-panel) pair with any
+        candidate i<j, mirroring the shard's pair set (cuking.cu:196-201)."""
         st = self.storage
-        planes_dev = jnp.asarray(st.planes)
-        threshold = jnp.float32(cfg.kin_threshold)
         diagonal = st.submatrix.is_diagonal
-
-        parts: list[ResultSet] = []
-        total = 0
-        self.logger.begin(
-            f"Running KING kernel for {st.nr} x {st.nc} matrix"
-            f" ({st.num_i_panels}x{st.num_j_panels} panels)..."
-        )
+        rows = []
         for ip in range(st.num_i_panels):
             i_off, gi_base, ni_valid = st.i_panel(ip)
             if ni_valid == 0:
@@ -278,33 +340,72 @@ class KingEngine:
                 j_off, gj_base, nj_valid = st.j_panel(jp)
                 if nj_valid == 0:
                     continue
-                out = self._step(
-                    planes_dev,
-                    jnp.int32(i_off),
-                    jnp.int32(j_off),
-                    jnp.int32(gi_base),
-                    jnp.int32(gj_base),
-                    jnp.int32(ni_valid),
-                    jnp.int32(nj_valid),
-                    threshold,
-                )
-                count = int(out.total)
-                if count == 0:
-                    continue
-                total += count
-                # Fetch only a power-of-two prefix to bound host transfer and
-                # slice-op compilation churn.
-                n_fetch = min(_ceil_pow2(count), cfg.panel * cfg.panel)
-                parts.append(
-                    ResultSet(
-                        i_idx=np.asarray(out.i_idx[:n_fetch][:count]),
-                        j_idx=np.asarray(out.j_idx[:n_fetch][:count]),
-                        kin=np.asarray(out.kin[:n_fetch][:count]),
-                        ibs0=np.asarray(out.ibs0[:n_fetch][:count]),
-                        ibs1=np.asarray(out.ibs1[:n_fetch][:count]),
-                        ibs2=np.asarray(out.ibs2[:n_fetch][:count]),
-                    )
-                )
+                rows.append((i_off, j_off, gi_base, gj_base, ni_valid, nj_valid))
+        return np.asarray(rows, dtype=np.int32).reshape(-1, 6)
+
+    # -- driver --------------------------------------------------------------
+
+    def run(self) -> ResultSet:
+        """Sweeps all (i-panel, j-panel) pairs of the shard and returns the
+        thresholded, sorted results."""
+        cfg = self.config
+        st = self.storage
+        planes_dev = self.planes_dev
+        threshold = jnp.float32(cfg.kin_threshold)
+        sweep, exact_step, cap_step = self._sweep
+
+        params = self._panel_pair_params()
+        num_steps = len(params)
+        batch = cfg.sweep_batch
+        parts: list[ResultSet] = []
+        total = 0
+        self.logger.begin(
+            f"Running KING kernel for {st.nr} x {st.nc} matrix"
+            f" ({num_steps} panel-pair steps)..."
+        )
+
+        def fetch(bufs, count, row=None):
+            n = min(_ceil_pow2(count), bufs[0].shape[-1])
+            sel = (
+                (lambda b: b[:n][:count]) if row is None
+                else (lambda b: b[row, :n][:count])
+            )
+            return ResultSet(
+                i_idx=np.asarray(sel(bufs[0])),
+                j_idx=np.asarray(sel(bufs[1])),
+                kin=np.asarray(sel(bufs[2])),
+                ibs0=np.asarray(sel(bufs[3])),
+                ibs1=np.asarray(sel(bufs[4])),
+                ibs2=np.asarray(sel(bufs[5])),
+            )
+
+        # Dispatch every batch asynchronously; sync/fetch only afterwards so
+        # host↔device round-trips don't serialize the device work.
+        pending = []
+        for lo in range(0, num_steps, batch):
+            chunk = params[lo : lo + batch]
+            if len(chunk) < batch:
+                # Pad with no-op rows (zero valid samples → skipped on device).
+                pad = np.zeros((batch - len(chunk), 6), np.int32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            chunk_dev = jnp.asarray(chunk)
+            pending.append((chunk_dev, sweep(planes_dev, chunk_dev, threshold)))
+
+        for chunk_dev, (running, totals, bufs) in pending:
+            count = int(running)
+            if count == 0:
+                continue
+            total += count
+            per_step = np.asarray(totals)
+            for k in np.nonzero(per_step)[0]:
+                c = int(per_step[k])
+                if c <= cap_step:
+                    parts.append(fetch(bufs, c, row=int(k)))
+                else:
+                    # Rare: this step alone exceeded the fast-path buffer —
+                    # recompute it at full panel² capacity (exact).
+                    full = exact_step(planes_dev, chunk_dev[int(k)], threshold)
+                    parts.append(fetch(full, c))
         self.logger.end("king_kernel")
 
         if total > cfg.max_results:

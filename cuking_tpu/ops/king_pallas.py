@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: fused bit-unpack + int8 MXU matmul for KING counts.
+
+This is the TPU replacement for the reference's one-CUDA-block-per-pair
+popcount kernel (cuking.cu:191-314).  Instead of VPU popcounts per pair, all
+six counters come from one stacked-indicator Gram matmul (see king_mm.py for
+the algebra); this kernel keeps the HBM working set at the packed 2
+bits/site/sample by unpacking {het, hom-alt, defined} bits to int8 **inside
+VMEM**, then feeding the MXU:
+
+grid = (NI/TI, NJ/TJ, W/WC), site-chunk innermost so the int32 Gram
+accumulator lives in VMEM scratch across the sweep:
+
+    per step: planes_i tile [2, TI, WC]u32, planes_j tile [2, TJ, WC]u32
+      → unpack to X_i [3·TI, 32·WC] i8, X_j [3·TJ, 32·WC] i8   (VPU)
+      → G += X_i · X_jᵀ                                        (MXU, i8→i32)
+    at last chunk: slice G's 3×3 blocks → six [TI, TJ] i32 counters → HBM
+
+The i-tile stays resident while j sweeps the row (grid order), giving the
+panel reuse the reference gets from its per-pair block scheduling.  Counts
+are integer-exact: int8 0/1 products accumulated in int32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuking_tpu.ops.king_math import KingCounts
+
+# Tile defaults, tuned for v5e: X tiles [3·128, 32·128] int8 = 1.5 MiB each,
+# Gram scratch [384, 384] i32 = 0.56 MiB — comfortably inside 16 MiB VMEM
+# with double-buffered inputs.
+TILE_I = 128
+TILE_J = 128
+
+
+def _unpack3(het: jnp.ndarray, hom: jnp.ndarray, ti: int, wc: int) -> jnp.ndarray:
+    """[TI, WC]u32 het/hom → [3·TI, 32·WC]i8 stacked H/A/D indicators.
+
+    Bit b of word w is site b·W + w (bitset.py layout): a pure lane-wise
+    shift-AND per bit, concatenated along lanes — no transposes.
+    """
+    h = het & ~hom
+    a = ~het & hom
+    d = ~(het & hom)
+    rows = []
+    for plane in (h, a, d):
+        bits = [
+            ((plane >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int8)
+            for b in range(32)
+        ]
+        rows.append(jnp.concatenate(bits, axis=1))  # [TI, 32·WC]
+    return jnp.concatenate(rows, axis=0)  # [3·TI, 32·WC]
+
+
+def _king_kernel(pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref, ch_ref,
+                 ss_ref, g_acc, *, ti: int, tj: int, wc: int):
+    s = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        g_acc[:] = jnp.zeros_like(g_acc)
+
+    xi = _unpack3(pi_ref[0], pi_ref[1], ti, wc)
+    xj = _unpack3(pj_ref[0], pj_ref[1], tj, wc)
+    g_acc[:] += lax.dot_general(
+        xi,
+        xj,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(s == ns - 1)
+    def _():
+        g = g_acc[:]
+        blk = lambda r, c: g[r * ti : (r + 1) * ti, c * tj : (c + 1) * tj]
+        HH, HA, HD = blk(0, 0), blk(0, 1), blk(0, 2)
+        AH, AA, AD = blk(1, 0), blk(1, 1), blk(1, 2)
+        DH, DA, DD = blk(2, 0), blk(2, 1), blk(2, 2)
+        bh_ref[:] = HH
+        hi_ref[:] = HD
+        hj_ref[:] = DH
+        ss_ref[:] = DD
+        oh_ref[:] = DA + AD - HA - AH - 2 * AA
+        ch_ref[:] = DD - DH - DA - HD + HH + HA - AD + AH + 2 * AA
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("site_chunk_words", "tile_i", "tile_j", "interpret"),
+)
+def panel_counts_pallas(
+    planes_i: jnp.ndarray,
+    planes_j: jnp.ndarray,
+    site_chunk_words: int = 512,
+    tile_i: int = TILE_I,
+    tile_j: int = TILE_J,
+    interpret: bool = False,
+) -> KingCounts:
+    """Six KING counters for an (i-panel, j-panel) pair via the fused Pallas
+    kernel.  planes_*: [2, N, W] uint32; N divisible by the tile size, W by
+    the site chunk."""
+    ni, nj = planes_i.shape[1], planes_j.shape[1]
+    w = planes_i.shape[2]
+    ti, tj = min(tile_i, ni), min(tile_j, nj)
+    wc = min(site_chunk_words, w)
+    assert ni % ti == 0 and nj % tj == 0, (ni, nj, ti, tj)
+    assert w % wc == 0, (w, wc)
+    grid = (ni // ti, nj // tj, w // wc)
+
+    out_shape = [jax.ShapeDtypeStruct((ni, nj), jnp.int32)] * 6
+    out_spec = pl.BlockSpec((ti, tj), lambda i, j, s: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_king_kernel, ti=ti, tj=tj, wc=wc)
+    flops = 2 * (3 * ni) * (3 * nj) * (32 * w)
+    # HBM traffic: the j-panel planes re-read once per i-tile, i-tiles once,
+    # six dense counter tiles written once.
+    bytes_accessed = (
+        grid[0] * nj * w * 2 * 4 + ni * w * 2 * 4 + 6 * ni * nj * 4
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, ti, wc), lambda i, j, s: (0, i, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tj, wc), lambda i, j, s: (0, j, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((3 * ti, 3 * tj), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
+        ),
+        interpret=interpret,
+    )(planes_i, planes_j)
+    bh, hi, hj, oh, ch, ss = outs
+    return KingCounts(
+        both_het=bh, het_i=hi, het_j=hj, opposing_hom=oh,
+        concordant_hom=ch, shared_sites=ss,
+    )

@@ -13,10 +13,18 @@ from cuking_tpu.ops.king_mm import panel_counts_matmul
 from cuking_tpu.ops.oracle import oracle_counts, oracle_king
 from cuking_tpu.utils.synthetic import random_genotypes
 
+from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
 KERNELS = {
     "popcount": lambda pi, pj: panel_counts_popcount(jnp.asarray(pi), jnp.asarray(pj)),
     "matmul": lambda pi, pj: panel_counts_matmul(
         jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=16
+    ),
+    # Interpret mode: validates the kernel logic on CPU; the real-TPU path is
+    # exercised by tools/tpu_smoke.py and bench.py.
+    "pallas": lambda pi, pj: panel_counts_pallas(
+        jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
+        tile_j=8, interpret=True
     ),
 }
 
