@@ -110,7 +110,13 @@ def main():
             )
             pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, words))
             c = panel_counts_popcount(pi, pj, row_block=8)
-            return acc + c.both_het.sum() + c.opposing_hom[0, 0], None
+            # Consume ALL six counters so XLA cannot dead-code-eliminate any
+            # of the popcount work (a fair six-counter baseline).
+            consumed = (
+                c.both_het + c.het_i + c.het_j + c.opposing_hom
+                + c.concordant_hom + c.shared_sites
+            )
+            return acc + consumed.sum(), None
         acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k_steps))
         return acc
 

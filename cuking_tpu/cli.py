@@ -68,8 +68,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Count-kernel implementation")
     p.add_argument("--panel", type=int, default=1024,
                    help="Samples per panel (pair-tile edge) in the jitted sweep")
+    p.add_argument("--use_mesh", action="store_true", help=(
+        "Run the whole matrix data-parallel over all local JAX devices via "
+        "the shard_map ring exchange (requires --split_factor=1; replaces "
+        "the reference's share-nothing multi-GPU fan-out)"))
     p.add_argument("--quiet", action="store_true", help="Suppress stage logs")
     return p
+
+
+def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
+    """Multi-chip path: sample-sharded planes, ppermute ring over the mesh
+    (cuking_tpu.parallel.ring) instead of the single-chip panel sweep."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from cuking_tpu.models.king import _resolve_kernel
+    from cuking_tpu.parallel.ring import all_pairs_sharded, ring_output_to_resultset
+
+    devices = np.array(jax.devices())
+    mesh = Mesh(devices, axis_names=("samples",))
+    logger.print(f"Using a {devices.size}-device mesh for the ring sweep.")
+    capacity = -(-args.max_results // devices.size)
+    out = all_pairs_sharded(
+        panel_storage.planes,
+        metadata.num_samples,
+        mesh,
+        _resolve_kernel(config),
+        kin_threshold=args.kin_threshold,
+        capacity_per_device=capacity,
+    )
+    return ring_output_to_resultset(out, capacity)
 
 
 def run(args: argparse.Namespace) -> None:
@@ -84,6 +113,11 @@ def run(args: argparse.Namespace) -> None:
         raise InvalidArgumentError("Invalid split factor")
     if args.shard_index >= num_shards(args.split_factor) or args.shard_index < 0:
         raise InvalidArgumentError("Invalid shard index")
+    if args.use_mesh and args.split_factor != 1:
+        raise InvalidArgumentError(
+            "--use_mesh processes the whole matrix on one device mesh; "
+            "combine it with --split_factor=1"
+        )
 
     logger = StageLogger(enabled=not args.quiet)
     storage = Storage(requester_pays_project=args.requester_pays_project)
@@ -125,8 +159,13 @@ def run(args: argparse.Namespace) -> None:
     )
     logger.end("ingest")
 
-    engine = KingEngine(panel_storage, config, logger=logger)
-    results = engine.run()
+    if args.use_mesh:
+        logger.begin("Running mesh ring sweep...")
+        results = _run_mesh_sweep(args, panel_storage, metadata, config, logger)
+        logger.end("king_kernel")
+    else:
+        engine = KingEngine(panel_storage, config, logger=logger)
+        results = engine.run()
 
     logger.begin(f"Writing {len(results)} results...")
     uri = write_results(

@@ -127,7 +127,10 @@ def all_pairs_sharded(
     """
     num_devices = mesh.devices.size
     n = planes.shape[1]
-    nd = -(-max(num_samples, 1) // num_devices)
+    # Row count must divide evenly across devices; planes may already carry
+    # padding rows beyond num_samples (panel multiples), so pad from
+    # whichever is larger.  Padding rows self-mask via the num_samples check.
+    nd = -(-max(num_samples, n, 1) // num_devices)
     n_pad = nd * num_devices
     if n < n_pad:
         pad = np.full((2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32)

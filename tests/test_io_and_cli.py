@@ -194,6 +194,32 @@ def test_cli_sharded_merge_equals_unsharded(tmp_path):
     assert key(merged) == key(unsharded)
 
 
+def test_cli_use_mesh_matches_single_device(tmp_path):
+    """--use_mesh on the 8-device CPU mesh must reproduce the single-device
+    golden output exactly (same fp32 kin, same pair set)."""
+    g = random_genotypes(45, 400, missing_rate=0.1, seed=6, num_related_pairs=4)
+    make_input(tmp_path, g)
+    rc = run_cli(cli_common(tmp_path, ["--kin_threshold", "0.05", "--use_mesh"]))
+    assert rc == 0
+    table = read_results_table(Storage(), str(tmp_path / "out.parquet"))
+    exp = oracle_resultset(g, 0.05)
+    assert table.num_rows == len(exp)
+    np.testing.assert_array_equal(
+        np.asarray(table.column("kin"), dtype=np.float32), exp.kin
+    )
+    np.testing.assert_array_equal(np.asarray(table.column("ibs0")), exp.ibs0)
+
+
+def test_cli_use_mesh_rejects_split_factor(tmp_path, capsys):
+    g = random_genotypes(10, 100, seed=0)
+    make_input(tmp_path, g)
+    rc = run_cli(cli_common(tmp_path, [
+        "--use_mesh", "--split_factor", "2", "--shard_index", "0",
+    ]))
+    assert rc == 1
+    assert "--use_mesh" in capsys.readouterr().err
+
+
 def test_cli_flag_validation(tmp_path, capsys):
     assert run_cli(["--output_uri", "x"]) == 1
     assert "No input URI specified" in capsys.readouterr().err
