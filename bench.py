@@ -48,7 +48,7 @@ def main():
     num_sites = 100_000 if on_tpu else 2_000
     panel = 1024 if on_tpu else 64
     kernel = "pallas" if on_tpu else "matmul"
-    site_chunk = 512 if on_tpu else 16
+    site_chunk = 128 if on_tpu else 16
 
     layout = PlaneLayout.create(num_sites, words_multiple=site_chunk)
     submatrix = Submatrix.create(num_samples, 1, 0)

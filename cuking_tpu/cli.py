@@ -72,19 +72,37 @@ def build_parser() -> argparse.ArgumentParser:
         "Run the whole matrix data-parallel over all local JAX devices via "
         "the shard_map ring exchange (requires --split_factor=1; replaces "
         "the reference's share-nothing multi-GPU fan-out)"))
+    p.add_argument("--distributed", action="store_true", help=(
+        "Multi-host TPU pod slice: jax.distributed.initialize(), mesh over "
+        "ALL chips in the slice; every host ingests the inputs and writes "
+        "its own disjoint output partition (implies --use_mesh)"))
+    p.add_argument("--skip_existing", action="store_true", help=(
+        "Exit successfully without recomputing when this shard's output "
+        "partition already exists (idempotent fan-out restarts)"))
+    p.add_argument("--profile_dir", default="", help=(
+        "If set, capture a jax.profiler trace of the sweep into this "
+        "directory (view with TensorBoard / xprof)"))
     p.add_argument("--quiet", action="store_true", help="Suppress stage logs")
     return p
 
 
 def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     """Multi-chip path: sample-sharded planes, ppermute ring over the mesh
-    (cuking_tpu.parallel.ring) instead of the single-chip panel sweep."""
+    (cuking_tpu.parallel.ring) instead of the single-chip panel sweep.
+
+    With --distributed the mesh spans every chip in the pod slice and each
+    host extracts only its own devices' result buffers (share-nothing
+    outputs, like the reference's independent shards, README.md:102)."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
 
     from cuking_tpu.models.king import _resolve_kernel
-    from cuking_tpu.parallel.ring import all_pairs_sharded, ring_output_to_resultset
+    from cuking_tpu.parallel.ring import (
+        all_pairs_sharded,
+        ring_output_local_resultset,
+        ring_output_to_resultset,
+    )
 
     devices = np.array(jax.devices())
     mesh = Mesh(devices, axis_names=("samples",))
@@ -98,6 +116,8 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
         kin_threshold=args.kin_threshold,
         capacity_per_device=capacity,
     )
+    if args.distributed:
+        return ring_output_local_resultset(out, capacity)
     return ring_output_to_resultset(out, capacity)
 
 
@@ -113,6 +133,8 @@ def run(args: argparse.Namespace) -> None:
         raise InvalidArgumentError("Invalid split factor")
     if args.shard_index >= num_shards(args.split_factor) or args.shard_index < 0:
         raise InvalidArgumentError("Invalid shard index")
+    if args.distributed:
+        args.use_mesh = True
     if args.use_mesh and args.split_factor != 1:
         raise InvalidArgumentError(
             "--use_mesh processes the whole matrix on one device mesh; "
@@ -121,6 +143,27 @@ def run(args: argparse.Namespace) -> None:
 
     logger = StageLogger(enabled=not args.quiet)
     storage = Storage(requester_pays_project=args.requester_pays_project)
+
+    shard_index = args.shard_index
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+        # Each host owns one disjoint output partition, keyed by its process
+        # index — the pod-slice analogue of the per-shard part files.
+        shard_index = jax.process_index()
+        logger.print(
+            f"Initialized distributed runtime: host {shard_index} of "
+            f"{jax.process_count()}, {jax.device_count()} chips total."
+        )
+
+    if args.skip_existing:
+        from cuking_tpu.io.writer import partition_name
+
+        part_uri = storage.join(args.output_uri, partition_name(shard_index))
+        if storage.exists(part_uri):
+            logger.print(f"Output {part_uri} already exists; skipping.")
+            return
 
     logger.begin("Reading metadata...")
     metadata = read_metadata(storage, args.input_uri)
@@ -159,17 +202,26 @@ def run(args: argparse.Namespace) -> None:
     )
     logger.end("ingest")
 
-    if args.use_mesh:
-        logger.begin("Running mesh ring sweep...")
-        results = _run_mesh_sweep(args, panel_storage, metadata, config, logger)
-        logger.end("king_kernel")
-    else:
-        engine = KingEngine(panel_storage, config, logger=logger)
-        results = engine.run()
+    import contextlib
+
+    profiling = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax.profiler
+
+        profiling = jax.profiler.trace(args.profile_dir)
+
+    with profiling:
+        if args.use_mesh:
+            logger.begin("Running mesh ring sweep...")
+            results = _run_mesh_sweep(args, panel_storage, metadata, config, logger)
+            logger.end("king_kernel")
+        else:
+            engine = KingEngine(panel_storage, config, logger=logger)
+            results = engine.run()
 
     logger.begin(f"Writing {len(results)} results...")
     uri = write_results(
-        storage, args.output_uri, results, metadata.samples, args.shard_index
+        storage, args.output_uri, results, metadata.samples, shard_index
     )
     logger.end("write")
     logger.print(f"Wrote {uri}.")

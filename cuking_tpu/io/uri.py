@@ -99,6 +99,13 @@ class Storage:
         bucket, path = split_gcs_uri(uri)
         return fs.open(f"{bucket}/{path}", "wb")
 
+    def exists(self, uri: str) -> bool:
+        fs = self._fs_for(uri)
+        if fs is None:
+            return os.path.exists(uri)
+        bucket, path = split_gcs_uri(uri)
+        return fs.exists(f"{bucket}/{path}")
+
     def join(self, base: str, *parts: str) -> str:
         if is_gcs_uri(base):
             return posixpath.join(base, *parts)

@@ -62,7 +62,7 @@ class KingConfig:
     max_results: int = DEFAULT_MAX_RESULTS
     panel: int = 1024               # samples per panel (pair tile edge)
     kernel: str = "auto"            # auto | popcount | matmul | pallas
-    site_chunk_words: int = 512     # uint32 words per site-chunk in mm/pallas
+    site_chunk_words: int = 128     # uint32 words per site-chunk in mm/pallas
     popcount_row_block: int = 8     # i-rows per popcount map step
     sweep_batch: int = 64           # panel-pair steps fused into one dispatch
     verbose: bool = False

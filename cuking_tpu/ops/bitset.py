@@ -35,9 +35,11 @@ from cuking_tpu.utils.status import FailedPreconditionError
 
 HET, HOM = 0, 1  # plane indices
 
-# Default word-count multiple: keeps W divisible by every Pallas site-chunk
-# size we use, and the lane dimension (128) aligned.
-DEFAULT_WORDS_MULTIPLE = 512
+# Default word-count multiple: keeps W divisible by the Pallas site-chunk
+# size and the lane dimension (128) aligned.  128 (not larger) because site
+# padding is pure wasted MXU work — at 100k sites, 512 pads 14.7% vs 2.4%
+# for 128 (tools/tune_pallas.py sweep: 163 → 200 M pairs/s on v5e).
+DEFAULT_WORDS_MULTIPLE = 128
 
 
 def _ceil_div(a: int, b: int) -> int:

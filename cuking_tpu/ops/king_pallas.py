@@ -32,11 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuking_tpu.ops.king_math import KingCounts
 
-# Tile defaults, tuned for v5e: X tiles [3·128, 32·128] int8 = 1.5 MiB each,
-# Gram scratch [384, 384] i32 = 0.56 MiB — comfortably inside 16 MiB VMEM
-# with double-buffered inputs.
-TILE_I = 128
-TILE_J = 128
+# Tile defaults, tuned on v5e (tools/tune_pallas.py): with a 128-word site
+# chunk, X tiles are [3·256, 32·128] int8 = 3 MiB each, Gram scratch
+# [768, 768] i32 = 2.25 MiB — inside 16 MiB VMEM with double-buffered
+# inputs.  256 beats 128 (200 vs 188 M pairs/s): twice the MXU work per
+# unpacked byte.
+TILE_I = 256
+TILE_J = 256
 
 
 def _unpack3(het: jnp.ndarray, hom: jnp.ndarray, ti: int, wc: int) -> jnp.ndarray:

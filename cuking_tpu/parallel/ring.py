@@ -157,6 +157,45 @@ def all_pairs_sharded(
     return jax.jit(fn)(planes_sharded, jnp.float32(kin_threshold))
 
 
+def ring_output_local_resultset(
+    out: RingOutput, capacity_per_device: int
+) -> ResultSet:
+    """Multi-host variant: extracts only THIS process's device buffers.
+
+    Each host materializes just its addressable shards and writes them as its
+    own output partition — preserving the reference's share-nothing,
+    trivially-mergeable output property (README.md:102) across a pod slice.
+    Overflow is checked per local device; remote devices are checked by their
+    own host (every host raises independently, fail-fast like cuking.cu:
+    747-751).
+    """
+    local_counts = {
+        s.index[0].start or 0: int(np.asarray(s.data)[0])
+        for s in out.counts.addressable_shards
+    }
+    if any(c > capacity_per_device for c in local_counts.values()):
+        raise ResourceExhaustedError(
+            "Could not store all results: try increasing the "
+            "--max_results parameter."
+        )
+    buffers = {}
+    for name in ("i_idx", "j_idx", "kin", "ibs0", "ibs1", "ibs2"):
+        for s in getattr(out, name).addressable_shards:
+            start = s.index[0].start or 0
+            buffers.setdefault(start // capacity_per_device, {})[name] = (
+                np.asarray(s.data)
+            )
+    parts = []
+    for d, count in sorted(local_counts.items()):
+        if count == 0:
+            continue
+        bufs = buffers[d]
+        parts.append(
+            ResultSet(**{k: v[:count] for k, v in bufs.items()})
+        )
+    return ResultSet.concat_and_sort(parts)
+
+
 def ring_output_to_resultset(
     out: RingOutput, capacity_per_device: int
 ) -> ResultSet:

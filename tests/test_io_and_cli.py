@@ -220,6 +220,19 @@ def test_cli_use_mesh_rejects_split_factor(tmp_path, capsys):
     assert "--use_mesh" in capsys.readouterr().err
 
 
+def test_cli_skip_existing(tmp_path):
+    """--skip_existing short-circuits when the shard's partition exists —
+    idempotent restarts of the fan-out (README.md:102 semantics)."""
+    g = random_genotypes(30, 200, missing_rate=0.1, seed=7, num_related_pairs=2)
+    make_input(tmp_path, g)
+    args = cli_common(tmp_path, ["--kin_threshold", "0.05", "--skip_existing"])
+    assert run_cli(args) == 0
+    part = tmp_path / "out.parquet" / "part-00000.snappy.parquet"
+    mtime = part.stat().st_mtime_ns
+    assert run_cli(args) == 0  # second run must not rewrite the partition
+    assert part.stat().st_mtime_ns == mtime
+
+
 def test_cli_flag_validation(tmp_path, capsys):
     assert run_cli(["--output_uri", "x"]) == 1
     assert "No input URI specified" in capsys.readouterr().err

@@ -11,6 +11,7 @@ from cuking_tpu.ops.bitset import PlaneLayout, pack_genotypes
 from cuking_tpu.ops.king_mm import panel_counts_matmul
 from cuking_tpu.parallel.ring import (
     all_pairs_sharded,
+    ring_output_local_resultset,
     ring_output_to_resultset,
 )
 from cuking_tpu.utils.status import ResourceExhaustedError
@@ -63,6 +64,34 @@ def test_ring_keep_all_pairs_exactly_once():
     assert_resultsets_equal(got, exp)
     pairs = set(zip(got.i_idx.tolist(), got.j_idx.tolist()))
     assert len(pairs) == len(got)  # no duplicates
+
+
+def test_ring_local_resultset_matches_global():
+    """In a single process every shard is addressable, so the multi-host
+    per-process extraction must reproduce the full gather exactly."""
+    g = random_genotypes(50, 400, missing_rate=0.1, seed=35, num_related_pairs=3)
+    layout = PlaneLayout.create(400, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(8)
+    out = all_pairs_sharded(
+        planes, 50, mesh, kernel, kin_threshold=0.05, capacity_per_device=4096,
+    )
+    local = ring_output_local_resultset(out, 4096)
+    full = ring_output_to_resultset(out, 4096)
+    assert len(full) > 0
+    assert_resultsets_equal(local, full)
+
+
+def test_ring_local_resultset_overflow():
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=36)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 32, mesh, kernel, kin_threshold=-2.0, capacity_per_device=8,
+    )
+    with pytest.raises(ResourceExhaustedError, match="max_results"):
+        ring_output_local_resultset(out, 8)
 
 
 def test_ring_overflow_detection():
