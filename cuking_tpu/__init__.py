@@ -20,5 +20,7 @@ instead of the reference's share-nothing GCS sharding (which is also kept, as
 
 __version__ = "0.1.0"
 
-from cuking_tpu.models.king import KingConfig, KingEngine  # noqa: F401
+from cuking_tpu.api import king  # noqa: F401
+from cuking_tpu.models.king import KingConfig, KingEngine, ResultSet  # noqa: F401
+from cuking_tpu.ops.king_math import KingCounts, KingResult  # noqa: F401
 from cuking_tpu.parallel.submatrix import Submatrix  # noqa: F401
