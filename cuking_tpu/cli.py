@@ -93,32 +93,68 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     With --distributed the mesh spans every chip in the pod slice and each
     host extracts only its own devices' result buffers (share-nothing
     outputs, like the reference's independent shards, README.md:102)."""
-    import jax
-    import numpy as np
-    from jax.sharding import Mesh
-
     from cuking_tpu.models.king import _resolve_kernel
     from cuking_tpu.parallel.ring import (
+        all_pairs_presharded,
         all_pairs_sharded,
         ring_output_local_resultset,
         ring_output_to_resultset,
     )
 
-    devices = np.array(jax.devices())
-    mesh = Mesh(devices, axis_names=("samples",))
-    logger.print(f"Using a {devices.size}-device mesh for the ring sweep.")
-    capacity = -(-args.max_results // devices.size)
-    out = all_pairs_sharded(
-        panel_storage.planes,
-        metadata.num_samples,
-        mesh,
-        _resolve_kernel(config),
-        kin_threshold=args.kin_threshold,
-        capacity_per_device=capacity,
+    from cuking_tpu.parallel.distributed import HostShardedStorage
+
+    mesh = _make_mesh()
+    logger.print(
+        f"Using a {mesh.devices.size}-device mesh for the ring sweep."
     )
+    capacity = -(-args.max_results // mesh.devices.size)
+    if isinstance(panel_storage, HostShardedStorage):
+        # Host-sharded path: assemble the global array from this host's
+        # per-device blocks (no host holds the whole cohort).
+        out = all_pairs_presharded(
+            panel_storage.to_global_array(),
+            metadata.num_samples,
+            mesh,
+            _resolve_kernel(config),
+            kin_threshold=args.kin_threshold,
+            capacity_per_device=capacity,
+        )
+    else:
+        out = all_pairs_sharded(
+            panel_storage.planes,
+            metadata.num_samples,
+            mesh,
+            _resolve_kernel(config),
+            kin_threshold=args.kin_threshold,
+            capacity_per_device=capacity,
+            row_multiple=_mesh_row_multiple(config),
+        )
     if args.distributed:
         return ring_output_local_resultset(out, capacity)
     return ring_output_to_resultset(out, capacity)
+
+
+def _make_mesh():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), axis_names=("samples",))
+
+
+def _mesh_row_multiple(config: KingConfig) -> int:
+    """Per-device row-count multiple for the ring sweep: the Pallas kernel
+    needs tile-divisible panels; other kernels take any size."""
+    import jax
+
+    kernel_name = config.kernel
+    if kernel_name == "auto":
+        kernel_name = "pallas" if jax.default_backend() == "tpu" else "matmul"
+    if kernel_name == "pallas":
+        from cuking_tpu.ops.king_pallas import TILE_I
+
+        return TILE_I
+    return 1
 
 
 def run(args: argparse.Namespace) -> None:
@@ -148,7 +184,10 @@ def run(args: argparse.Namespace) -> None:
     if args.distributed:
         import jax
 
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # single-process runs have no coordinator
+            logger.print(f"jax.distributed.initialize() skipped: {e}")
         # Each host owns one disjoint output partition, keyed by its process
         # index — the pod-slice analogue of the per-shard part files.
         shard_index = jax.process_index()
@@ -181,7 +220,17 @@ def run(args: argparse.Namespace) -> None:
     )
 
     layout = PlaneLayout.create(metadata.num_sites)
-    panel_storage = PanelStorage(layout, submatrix, config.panel)
+    if args.distributed:
+        # Host-sharded storage: this host materializes only the sample
+        # row-blocks its local chips own (no full-cohort bitset per host).
+        from cuking_tpu.parallel.distributed import HostShardedStorage
+
+        panel_storage = HostShardedStorage(
+            layout, metadata.num_samples, _make_mesh(),
+            row_multiple=_mesh_row_multiple(config),
+        )
+    else:
+        panel_storage = PanelStorage(layout, submatrix, config.panel)
     mib = panel_storage.planes.nbytes >> 20
     logger.print(f"Allocated {mib} MiB of memory for bit planes.")
 

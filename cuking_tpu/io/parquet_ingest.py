@@ -24,7 +24,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from cuking_tpu.io.uri import Storage
-from cuking_tpu.models.king import PanelStorage
 from cuking_tpu.ops import bitset
 from cuking_tpu.utils.status import FailedPreconditionError
 from cuking_tpu.utils.stopwatch import StageLogger
@@ -71,7 +70,6 @@ def ingest_parquet(
     single-error propagation (cuking.cu:415-433).
     """
     logger = logger or StageLogger(enabled=False)
-    submatrix = panel_storage.submatrix
     planes = panel_storage.planes
     layout = panel_storage.layout
 
@@ -92,8 +90,9 @@ def ingest_parquet(
     def process(path: str) -> None:
         buf = storage.read_bytes(path)
         row_idx, col_idx, n_alt = _decode_file(buf, path)
-        # Skip samples outside this shard (cuking.cu:676-678).
-        keep = submatrix.contains(col_idx)
+        # Skip samples not stored here — outside this shard's Submatrix or,
+        # for host-sharded storage, on another host (cuking.cu:676-678).
+        keep = panel_storage.contains(col_idx)
         row_idx, col_idx, n_alt = row_idx[keep], col_idx[keep], n_alt[keep]
         offsets = panel_storage.storage_offsets(col_idx)
         if native is not None:

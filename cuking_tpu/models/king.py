@@ -138,9 +138,14 @@ class PanelStorage:
             total = self.nr_pad + self.nc_pad
         self.planes = bitset.allocate_planes(total, layout)
 
+    def contains(self, global_idx: np.ndarray) -> np.ndarray:
+        """True for samples stored in this shard (cuking.cu:675-678); the
+        ingest-facing surface shared with HostShardedStorage."""
+        return self.submatrix.contains(global_idx)
+
     def storage_offsets(self, global_idx: np.ndarray) -> np.ndarray:
         """Global sample index → padded storage row; callers must only pass
-        indices with ``submatrix.contains(idx)`` true (cf. cuking.cu:675-678)."""
+        indices with ``contains(idx)`` true (cf. cuking.cu:675-678)."""
         sm = self.submatrix
         return np.where(
             global_idx < sm.i_end,
@@ -246,7 +251,10 @@ class KingEngine:
         )
         pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
         pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
-        res = king_from_counts(self._kernel(pi, pj))
+        # Diagonal panel pairs (same global base) let the Pallas kernel skip
+        # lower-triangle tiles; the i<j mask below discards them regardless.
+        tri = (gi_base == gj_base).astype(jnp.int32)
+        res = king_from_counts(self._kernel(pi, pj, tri))
 
         local = jnp.arange(panel, dtype=jnp.int32)
         gi = gi_base + local

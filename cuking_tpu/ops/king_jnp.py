@@ -47,14 +47,20 @@ def _row_block_counts(planes_i_blk, planes_j):
 
 
 def panel_counts_popcount(
-    planes_i: jnp.ndarray, planes_j: jnp.ndarray, row_block: int = 8
+    planes_i: jnp.ndarray,
+    planes_j: jnp.ndarray,
+    tri: jnp.ndarray | None = None,
+    row_block: int = 8,
 ) -> KingCounts:
     """Six KING counters for all (i, j) pairs of two packed panels.
 
     planes_i: [2, NI, W] uint32, planes_j: [2, NJ, W] uint32 →
     six [NI, NJ] int32 count matrices.  NI must be divisible by row_block
     (panel sizes are padded powers of two throughout the engine).
+    ``tri`` (diagonal-panel hint) is accepted for kernel-interface parity
+    with king_pallas and ignored — XLA can't skip per-tile here.
     """
+    del tri
     ni = planes_i.shape[1]
     row_block = min(row_block, ni)
     while ni % row_block:  # largest divisor of ni not exceeding row_block

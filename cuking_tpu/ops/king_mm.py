@@ -74,14 +74,20 @@ def counts_from_gram(gram: jnp.ndarray, ni: int, nj: int) -> KingCounts:
 
 
 def panel_counts_matmul(
-    planes_i: jnp.ndarray, planes_j: jnp.ndarray, site_chunk_words: int = 512
+    planes_i: jnp.ndarray,
+    planes_j: jnp.ndarray,
+    tri: jnp.ndarray | None = None,
+    site_chunk_words: int = 128,
 ) -> KingCounts:
     """Six KING counters via the stacked-indicator matmul (plain XLA).
 
     planes_i: [2, NI, W] uint32, planes_j: [2, NJ, W] → six [NI, NJ] int32.
     The site axis is processed in chunks so the unpacked int8 indicators
     never exceed ``3 · N_panel · 32 · site_chunk_words`` bytes.
+    ``tri`` (diagonal-panel hint) is accepted for kernel-interface parity
+    with king_pallas and ignored — one dense dot either way.
     """
+    del tri
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
     chunk = min(site_chunk_words, w)

@@ -60,37 +60,47 @@ def _unpack3(het: jnp.ndarray, hom: jnp.ndarray, ti: int, wc: int) -> jnp.ndarra
     return jnp.concatenate(rows, axis=0)  # [3·TI, 32·WC]
 
 
-def _king_kernel(pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref, ch_ref,
-                 ss_ref, g_acc, *, ti: int, tj: int, wc: int):
+def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
+                 ch_ref, ss_ref, g_acc, *, ti: int, tj: int, wc: int):
     s = pl.program_id(2)
     ns = pl.num_programs(2)
-
-    @pl.when(s == 0)
-    def _():
-        g_acc[:] = jnp.zeros_like(g_acc)
-
-    xi = _unpack3(pi_ref[0], pi_ref[1], ti, wc)
-    xj = _unpack3(pj_ref[0], pj_ref[1], tj, wc)
-    g_acc[:] += lax.dot_general(
-        xi,
-        xj,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    # Triangle skip: when the caller marks this panel pair as diagonal
+    # (gi_base == gj_base), tiles strictly below the tile diagonal hold only
+    # pairs with global i > j, which the epilogue mask discards anyway
+    # (cuking.cu:199 contract) — skip their unpack + matmul entirely.  Their
+    # output blocks are left unwritten (garbage), masked downstream.
+    active = (tri_ref[0] == 0) | (
+        pl.program_id(0) * ti <= pl.program_id(1) * tj + (tj - 1)
     )
 
-    @pl.when(s == ns - 1)
+    @pl.when(active)
     def _():
-        g = g_acc[:]
-        blk = lambda r, c: g[r * ti : (r + 1) * ti, c * tj : (c + 1) * tj]
-        HH, HA, HD = blk(0, 0), blk(0, 1), blk(0, 2)
-        AH, AA, AD = blk(1, 0), blk(1, 1), blk(1, 2)
-        DH, DA, DD = blk(2, 0), blk(2, 1), blk(2, 2)
-        bh_ref[:] = HH
-        hi_ref[:] = HD
-        hj_ref[:] = DH
-        ss_ref[:] = DD
-        oh_ref[:] = DA + AD - HA - AH - 2 * AA
-        ch_ref[:] = DD - DH - DA - HD + HH + HA - AD + AH + 2 * AA
+        @pl.when(s == 0)
+        def _():
+            g_acc[:] = jnp.zeros_like(g_acc)
+
+        xi = _unpack3(pi_ref[0], pi_ref[1], ti, wc)
+        xj = _unpack3(pj_ref[0], pj_ref[1], tj, wc)
+        g_acc[:] += lax.dot_general(
+            xi,
+            xj,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(s == ns - 1)
+        def _():
+            g = g_acc[:]
+            blk = lambda r, c: g[r * ti : (r + 1) * ti, c * tj : (c + 1) * tj]
+            HH, HA, HD = blk(0, 0), blk(0, 1), blk(0, 2)
+            AH, AA, AD = blk(1, 0), blk(1, 1), blk(1, 2)
+            DH, DA, DD = blk(2, 0), blk(2, 1), blk(2, 2)
+            bh_ref[:] = HH
+            hi_ref[:] = HD
+            hj_ref[:] = DH
+            ss_ref[:] = DD
+            oh_ref[:] = DA + AD - HA - AH - 2 * AA
+            ch_ref[:] = DD - DH - DA - HD + HH + HA - AD + AH + 2 * AA
 
 
 @functools.partial(
@@ -100,14 +110,22 @@ def _king_kernel(pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref, ch_ref,
 def panel_counts_pallas(
     planes_i: jnp.ndarray,
     planes_j: jnp.ndarray,
-    site_chunk_words: int = 512,
+    tri: jnp.ndarray | None = None,
+    site_chunk_words: int = 128,
     tile_i: int = TILE_I,
     tile_j: int = TILE_J,
     interpret: bool = False,
 ) -> KingCounts:
     """Six KING counters for an (i-panel, j-panel) pair via the fused Pallas
     kernel.  planes_*: [2, N, W] uint32; N divisible by the tile size, W by
-    the site chunk."""
+    the site chunk.
+
+    ``tri``: optional int32 scalar; nonzero marks the panel pair as lying on
+    the global diagonal (gi_base == gj_base), enabling the in-kernel
+    lower-triangle tile skip.  Counter tiles strictly below the tile diagonal
+    are then left unwritten — callers MUST mask with the strict global
+    ``i < j`` predicate (they already must, per cuking.cu:199).
+    """
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
     ti, tj = min(tile_i, ni), min(tile_j, nj)
@@ -115,6 +133,10 @@ def panel_counts_pallas(
     assert ni % ti == 0 and nj % tj == 0, (ni, nj, ti, tj)
     assert w % wc == 0, (w, wc)
     grid = (ni // ti, nj // tj, w // wc)
+    if tri is None:
+        tri = jnp.zeros((1,), jnp.int32)
+    else:
+        tri = jnp.asarray(tri, jnp.int32).reshape((1,))
 
     out_shape = [jax.ShapeDtypeStruct((ni, nj), jnp.int32)] * 6
     out_spec = pl.BlockSpec((ti, tj), lambda i, j, s: (i, j),
@@ -131,6 +153,7 @@ def panel_counts_pallas(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((2, ti, wc), lambda i, j, s: (0, i, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tj, wc), lambda i, j, s: (0, j, s),
@@ -146,7 +169,7 @@ def panel_counts_pallas(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
         ),
         interpret=interpret,
-    )(planes_i, planes_j)
+    )(tri, planes_i, planes_j)
     bh, hi, hj, oh, ch, ss = outs
     return KingCounts(
         both_het=bh, het_i=hi, het_j=hj, opposing_hom=oh,

@@ -64,7 +64,10 @@ def _ring_fn(
     def body(carry, t):
         buf, out, running = carry
         owner = (me - t) % num_devices
-        counts = kernel(local_planes, buf)
+        # t == 0 compares a device's own panel against itself — a diagonal
+        # block of the global matrix, eligible for the kernel's
+        # lower-triangle tile skip (king_pallas `tri`).
+        counts = kernel(local_planes, buf, (t == 0).astype(jnp.int32))
         res = king_from_counts(counts)
         gj = owner * nd + jnp.arange(nd, dtype=jnp.int32)
         # Strict global upper triangle + padding validity + strict threshold.
@@ -118,12 +121,15 @@ def all_pairs_sharded(
     *,
     kin_threshold: float,
     capacity_per_device: int = 1 << 20,
+    row_multiple: int = 1,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
     ``planes`` is padded (all-ones = missing) up to ``D * ceil(N/D)`` rows and
     placed sharded along the sample axis; padding self-masks via the
-    ``num_samples`` validity check.
+    ``num_samples`` validity check.  ``row_multiple`` additionally rounds the
+    per-device row count up (e.g. to the Pallas tile size, which requires
+    tile-divisible panels).
     """
     num_devices = mesh.devices.size
     n = planes.shape[1]
@@ -131,13 +137,36 @@ def all_pairs_sharded(
     # padding rows beyond num_samples (panel multiples), so pad from
     # whichever is larger.  Padding rows self-mask via the num_samples check.
     nd = -(-max(num_samples, n, 1) // num_devices)
+    nd = -(-nd // row_multiple) * row_multiple
     n_pad = nd * num_devices
     if n < n_pad:
         pad = np.full((2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32)
         planes = np.concatenate([np.asarray(planes), pad], axis=1)
     sharding = NamedSharding(mesh, P(None, AXIS, None))
     planes_sharded = jax.device_put(np.asarray(planes), sharding)
+    return all_pairs_presharded(
+        planes_sharded, num_samples, mesh, kernel,
+        kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
+    )
 
+
+def all_pairs_presharded(
+    planes_sharded: jnp.ndarray,  # [2, D*nd, W] already sharded P(None, AXIS, None)
+    num_samples: int,
+    mesh: Mesh,
+    kernel: Callable,
+    *,
+    kin_threshold: float,
+    capacity_per_device: int = 1 << 20,
+) -> RingOutput:
+    """Ring sweep over an ALREADY sample-sharded global plane array.
+
+    Multi-host entry point: each host builds only its devices' row blocks
+    (cuking_tpu.parallel.distributed) instead of materializing the whole
+    cohort's planes, then calls this.  Padding rows (global index ≥
+    num_samples) must be all-ones (missing) — they self-mask.
+    """
+    num_devices = mesh.devices.size
     fn = jax.shard_map(
         partial(
             _ring_fn,

@@ -1,0 +1,130 @@
+"""Host-sharded storage + presharded ring sweep on the 8-device CPU mesh.
+
+Single-process degenerate case: all devices are local, so the host-sharded
+path must reproduce the replicated-ingest path bit-for-bit — same global
+plane array, same results.  (True multi-host behavior differs only in which
+blocks are local; the arithmetic is identical.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from cuking_tpu.io.parquet_ingest import ingest_parquet
+from cuking_tpu.io.synthetic_input import write_synthetic_input
+from cuking_tpu.io.uri import Storage
+from cuking_tpu.io.writer import read_results_table
+from cuking_tpu.ops.bitset import PlaneLayout, pack_genotypes
+from cuking_tpu.ops.king_mm import panel_counts_matmul
+from cuking_tpu.parallel.distributed import HostShardedStorage
+from cuking_tpu.parallel.ring import (
+    all_pairs_presharded,
+    all_pairs_sharded,
+    ring_output_to_resultset,
+)
+from cuking_tpu.utils.synthetic import random_genotypes
+
+from tests.test_engine import assert_resultsets_equal, oracle_resultset
+
+
+def make_mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), axis_names=("samples",))
+
+
+def kernel(pi, pj, tri=None):
+    return panel_counts_matmul(pi, pj, tri, site_chunk_words=16)
+
+
+def test_host_sharded_storage_row_mapping():
+    layout = PlaneLayout.create(100, words_multiple=16)
+    mesh = make_mesh(4)
+    st = HostShardedStorage(layout, 30, mesh, row_multiple=1)
+    assert st.nd == 8 and st.n_pad == 32
+    idx = np.arange(35)
+    contains = st.contains(idx)
+    # All devices local in single process; indices < num_samples stored.
+    assert contains[:30].all() and not contains[30:].any()
+    offs = st.storage_offsets(idx[:30])
+    # Mesh-order blocks ⇒ identity mapping in the single-process case.
+    np.testing.assert_array_equal(offs, idx[:30])
+
+
+def test_host_sharded_ingest_matches_replicated(tmp_path):
+    g = random_genotypes(43, 300, missing_rate=0.1, seed=41, num_related_pairs=3)
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    write_synthetic_input(storage, input_uri, g)
+    files = storage.list_parquet_files(input_uri)
+
+    layout = PlaneLayout.create(300, words_multiple=16)
+    mesh = make_mesh(8)
+    st = HostShardedStorage(layout, 43, mesh)
+    ingest_parquet(storage, files, st, num_reader_threads=4)
+
+    global_arr = st.to_global_array()
+    assert global_arr.shape == (2, st.n_pad, layout.words)
+    # Stored rows must equal the direct dense packing; padding all-missing.
+    packed = pack_genotypes(g, layout)
+    got = np.asarray(global_arr)
+    np.testing.assert_array_equal(got[:, :43, :], packed)
+    assert (got[:, 43:, :] == 0xFFFFFFFF).all()
+
+    out = all_pairs_presharded(
+        global_arr, 43, mesh, kernel, kin_threshold=0.05,
+        capacity_per_device=4096,
+    )
+    got_rs = ring_output_to_resultset(out, 4096)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(got_rs, exp)
+
+
+def test_presharded_equals_sharded_entry():
+    g = random_genotypes(50, 400, missing_rate=0.05, seed=42, num_related_pairs=2)
+    layout = PlaneLayout.create(400, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(8)
+    out1 = all_pairs_sharded(
+        planes, 50, mesh, kernel, kin_threshold=0.05, capacity_per_device=1024,
+    )
+    rs1 = ring_output_to_resultset(out1, 1024)
+
+    st = HostShardedStorage(layout, 50, mesh)
+    stored = np.arange(50)
+    st.planes[:, st.storage_offsets(stored), :] = planes[:, stored, :]
+    out2 = all_pairs_presharded(
+        st.to_global_array(), 50, mesh, kernel, kin_threshold=0.05,
+        capacity_per_device=1024,
+    )
+    rs2 = ring_output_to_resultset(out2, 1024)
+    assert_resultsets_equal(rs1, rs2)
+
+
+def test_cli_distributed_single_process(tmp_path):
+    """--distributed in one process: host-sharded ingest + presharded ring +
+    per-process partition; output equals the oracle."""
+    from cuking_tpu import cli
+
+    g = random_genotypes(40, 300, missing_rate=0.1, seed=43, num_related_pairs=3)
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    write_synthetic_input(storage, input_uri, g)
+    rc = cli.main([
+        "--input_uri", input_uri,
+        "--output_uri", str(tmp_path / "out.parquet"),
+        "--kernel", "matmul", "--kin_threshold", "0.05",
+        "--distributed", "--quiet",
+    ])
+    assert rc == 0
+    table = read_results_table(storage, str(tmp_path / "out.parquet"))
+    exp = oracle_resultset(g, 0.05)
+    assert table.num_rows == len(exp)
+    np.testing.assert_array_equal(
+        np.asarray(table.column("kin"), dtype=np.float32), exp.kin
+    )

@@ -68,6 +68,27 @@ def test_all_missing_sample(kernel_name):
         assert (arr[:, 3] == 0).all(), name
 
 
+def test_pallas_triangle_skip_upper_tiles_exact():
+    """With tri=1 (diagonal panel pair), tiles on/above the tile diagonal are
+    still exact; below-diagonal tiles are unspecified and must be masked by
+    the caller's strict i<j predicate (which discards them anyway)."""
+    g = random_genotypes(32, 512, missing_rate=0.1, seed=21, num_related_pairs=2)
+    layout = PlaneLayout.create(512, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    tile = 8
+    got = panel_counts_pallas(
+        jnp.asarray(planes), jnp.asarray(planes), jnp.int32(1),
+        site_chunk_words=8, tile_i=tile, tile_j=tile, interpret=True,
+    )
+    expected = oracle_counts(g, g)
+    for name, exp, act in zip(KingCounts._fields, expected, got):
+        act = np.asarray(act)
+        for bi in range(32 // tile):
+            for bj in range(bi, 32 // tile):  # upper tile triangle only
+                sl = np.s_[bi * tile:(bi + 1) * tile, bj * tile:(bj + 1) * tile]
+                assert np.array_equal(act[sl], exp[sl]), (name, bi, bj)
+
+
 def test_epilogue_matches_reference_expression():
     g = random_genotypes(24, 4096, missing_rate=0.08, seed=11, num_related_pairs=4)
     layout = PlaneLayout.create(4096, words_multiple=32)

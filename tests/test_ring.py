@@ -25,8 +25,8 @@ def make_mesh(n):
     return Mesh(devices, axis_names=("samples",))
 
 
-def kernel(pi, pj):
-    return panel_counts_matmul(pi, pj, site_chunk_words=16)
+def kernel(pi, pj, tri=None):
+    return panel_counts_matmul(pi, pj, tri, site_chunk_words=16)
 
 
 @pytest.mark.parametrize("num_devices", [2, 4, 8])
