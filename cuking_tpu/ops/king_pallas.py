@@ -41,27 +41,46 @@ TILE_I = 256
 TILE_J = 256
 
 
-def _unpack3(het: jnp.ndarray, hom: jnp.ndarray, ti: int, wc: int) -> jnp.ndarray:
+def _unpack3(
+    het: jnp.ndarray, hom: jnp.ndarray, ti: int, wc: int, mode: str = "u32"
+) -> jnp.ndarray:
     """[TI, WC]u32 het/hom → [3·TI, 32·WC]i8 stacked H/A/D indicators.
 
-    Bit b of word w is site b·W + w (bitset.py layout): a pure lane-wise
-    shift-AND per bit, concatenated along lanes — no transposes.
+    All six counters are site-permutation-invariant sums, so any fixed site
+    order is valid as long as both operands use the same one (bitset.py).
+
+    mode="u32": [TI, WC]u32 refs; 32 lane-wise shift-ANDs per word.
+    mode="u8": refs already bitcast to [TI, 4·WC]u8 OUTSIDE the kernel
+    (Mosaic can't change bitwidths in-kernel), so only 8 mask-compares, each
+    covering 4× the sites per vector register — a 4× cut in unpack work.
+    NOTE: u8 currently only runs in interpret mode; the deployed Mosaic
+    can't legalize i8 vector shift/compare ops (kept for future toolchains;
+    at ~94% MXU utilization the u32 unpack is already largely overlapped,
+    so the ceiling on this optimization is ≤6% anyway).
     """
     h = het & ~hom
     a = ~het & hom
     d = ~(het & hom)
     rows = []
     for plane in (h, a, d):
-        bits = [
-            ((plane >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int8)
-            for b in range(32)
-        ]
+        if mode == "u8":
+            # Mosaic has no i8 vector shift; mask-and-compare legalizes.
+            bits = [
+                (plane & jnp.uint8(1 << b) > 0).astype(jnp.int8)
+                for b in range(8)
+            ]
+        else:
+            bits = [
+                ((plane >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int8)
+                for b in range(32)
+            ]
         rows.append(jnp.concatenate(bits, axis=1))  # [TI, 32·WC]
     return jnp.concatenate(rows, axis=0)  # [3·TI, 32·WC]
 
 
 def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
-                 ch_ref, ss_ref, g_acc, *, ti: int, tj: int, wc: int):
+                 ch_ref, ss_ref, g_acc, *, ti: int, tj: int, wc: int,
+                 unpack: str = "u32"):
     s = pl.program_id(2)
     ns = pl.num_programs(2)
     # Triangle skip: when the caller marks this panel pair as diagonal
@@ -79,8 +98,8 @@ def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
         def _():
             g_acc[:] = jnp.zeros_like(g_acc)
 
-        xi = _unpack3(pi_ref[0], pi_ref[1], ti, wc)
-        xj = _unpack3(pj_ref[0], pj_ref[1], tj, wc)
+        xi = _unpack3(pi_ref[0], pi_ref[1], ti, wc, unpack)
+        xj = _unpack3(pj_ref[0], pj_ref[1], tj, wc, unpack)
         g_acc[:] += lax.dot_general(
             xi,
             xj,
@@ -105,7 +124,9 @@ def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("site_chunk_words", "tile_i", "tile_j", "interpret"),
+    static_argnames=(
+        "site_chunk_words", "tile_i", "tile_j", "interpret", "unpack"
+    ),
 )
 def panel_counts_pallas(
     planes_i: jnp.ndarray,
@@ -115,6 +136,7 @@ def panel_counts_pallas(
     tile_i: int = TILE_I,
     tile_j: int = TILE_J,
     interpret: bool = False,
+    unpack: str = "u32",
 ) -> KingCounts:
     """Six KING counters for an (i-panel, j-panel) pair via the fused Pallas
     kernel.  planes_*: [2, N, W] uint32; N divisible by the tile size, W by
@@ -138,11 +160,26 @@ def panel_counts_pallas(
     else:
         tri = jnp.asarray(tri, jnp.int32).reshape((1,))
 
+    if unpack == "u8":
+        # Bitcast to byte lanes in XLA (free: same HBM bytes); the kernel
+        # then unpacks with 8 shift-ANDs instead of 32.
+        planes_i = lax.bitcast_convert_type(planes_i, jnp.uint8).reshape(
+            2, ni, 4 * w
+        )
+        planes_j = lax.bitcast_convert_type(planes_j, jnp.uint8).reshape(
+            2, nj, 4 * w
+        )
+        in_wc = 4 * wc
+    else:
+        in_wc = wc
+
     out_shape = [jax.ShapeDtypeStruct((ni, nj), jnp.int32)] * 6
     out_spec = pl.BlockSpec((ti, tj), lambda i, j, s: (i, j),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_king_kernel, ti=ti, tj=tj, wc=wc)
+    kernel = functools.partial(
+        _king_kernel, ti=ti, tj=tj, wc=wc, unpack=unpack
+    )
     flops = 2 * (3 * ni) * (3 * nj) * (32 * w)
     # HBM traffic: the j-panel planes re-read once per i-tile, i-tiles once,
     # six dense counter tiles written once.
@@ -154,9 +191,9 @@ def panel_counts_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((2, ti, wc), lambda i, j, s: (0, i, s),
+            pl.BlockSpec((2, ti, in_wc), lambda i, j, s: (0, i, s),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tj, wc), lambda i, j, s: (0, j, s),
+            pl.BlockSpec((2, tj, in_wc), lambda i, j, s: (0, j, s),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 6,

@@ -26,6 +26,12 @@ KERNELS = {
         jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
         tile_j=8, interpret=True
     ),
+    # u8-bitcast unpack variant: different (but consistent) site permutation,
+    # identical counts.
+    "pallas_u8": lambda pi, pj: panel_counts_pallas(
+        jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
+        tile_j=8, interpret=True, unpack="u8"
+    ),
 }
 
 

@@ -32,23 +32,23 @@ def main():
     rng = np.random.default_rng(0)
 
     configs = [
-        # (words_multiple, site_chunk_words, tile)
-        (512, 512, 128),
-        (256, 256, 128),
-        (128, 128, 128),
-        (128, 128, 256),
-        (256, 128, 128),
+        # (words_multiple, site_chunk_words, tile, unpack)
+        (128, 128, 256, "u32"),
+        (128, 128, 256, "u8"),
+        (128, 128, 128, "u8"),
+        (128, 256, 256, "u8"),
     ]
     print(f"backend={jax.default_backend()}", file=sys.stderr)
 
-    for wm, chunk, tile in configs:
+    for wm, chunk, tile, unpack in configs:
         words = -(-(-(-num_sites // 32)) // wm) * wm
         planes = jnp.asarray(
             rng.integers(0, 2**32, (2, n_rows, words), dtype=np.uint32)
         )
 
         @partial(jax.jit, static_argnums=(1,))
-        def chain(planes, k_steps, _chunk=chunk, _tile=tile, _words=words):
+        def chain(planes, k_steps, _chunk=chunk, _tile=tile, _words=words,
+                  _unpack=unpack):
             def step(acc, k):
                 pj = lax.dynamic_slice(
                     planes, (0, k * panel, 0), (2, panel, _words)
@@ -56,7 +56,7 @@ def main():
                 pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, _words))
                 c = panel_counts_pallas(
                     pi, pj, site_chunk_words=_chunk,
-                    tile_i=_tile, tile_j=_tile,
+                    tile_i=_tile, tile_j=_tile, unpack=_unpack,
                 )
                 consumed = (
                     c.both_het + c.het_i + c.het_j + c.opposing_hom
@@ -77,11 +77,11 @@ def main():
             dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
             pairs_s = panel * panel / dt
             print(
-                f"wm={wm:4d} chunk={chunk:4d} tile={tile:3d} W={words:5d}: "
+                f"wm={wm:4d} chunk={chunk:4d} tile={tile:3d} unpack={unpack:4s} W={words:5d}: "
                 f"{dt*1e3:7.2f} ms/panel-pair  {pairs_s/1e6:7.1f} M pairs/s"
             )
         except Exception as e:
-            print(f"wm={wm} chunk={chunk} tile={tile}: FAILED {type(e).__name__}: {e}")
+            print(f"wm={wm} chunk={chunk} tile={tile} unpack={unpack}: FAILED {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
