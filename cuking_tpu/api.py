@@ -52,13 +52,27 @@ def king(
     g = np.asarray(genotypes)
     if g.ndim != 2:
         raise ValueError(f"genotypes must be [num_samples, num_sites], got {g.shape}")
+    n = g.shape[0]
     layout = PlaneLayout.create(g.shape[1], words_multiple=min(
         bitset.DEFAULT_WORDS_MULTIPLE, max(16, site_chunk_words)))
-    planes = jnp.asarray(bitset.pack_genotypes(g, layout))
+    packed = bitset.pack_genotypes(g, layout)
+    # Pad the sample axis to a tile-friendly multiple with all-missing rows
+    # (self-masking: zero counts, NaN kin, sliced off below) so any kernel —
+    # including the tile-divisibility-constrained Pallas path — accepts it.
+    n_pad = -(-max(n, 1) // 256) * 256 if kernel is not None else n
+    if n_pad > n:
+        pad = np.full(
+            (2, n_pad - n, layout.words), 0xFFFFFFFF, dtype=np.uint32
+        )
+        packed = np.concatenate([packed, pad], axis=1)
+    planes = jnp.asarray(packed)
     if kernel is None:
         counts = panel_counts_matmul(
             planes, planes, site_chunk_words=site_chunk_words
         )
     else:
         counts = kernel(planes, planes)
-    return king_from_counts(counts)
+    res = king_from_counts(counts)
+    if n_pad > n:
+        res = KingResult(*(x[:n, :n] for x in res))
+    return res

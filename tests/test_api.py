@@ -35,6 +35,23 @@ def test_king_symmetry_and_duplicates():
     assert ibs0[0, 1] == 0
 
 
+def test_king_custom_kernel_autopads():
+    """An explicit kernel (e.g. Pallas, which needs tile-divisible panels)
+    gets a padded sample axis; results are sliced back to N×N."""
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
+    g = random_genotypes(37, 600, missing_rate=0.1, seed=13, num_related_pairs=2)
+    res = cuking_tpu.king(
+        g,
+        kernel=lambda pi, pj: panel_counts_pallas(
+            pi, pj, site_chunk_words=8, tile_i=128, tile_j=128, interpret=True
+        ),
+    )
+    exp = king_from_counts(oracle_counts(g, g))
+    assert np.asarray(res.kin).shape == (37, 37)
+    np.testing.assert_array_equal(np.asarray(res.kin), np.asarray(exp.kin))
+
+
 def test_king_rejects_bad_shape():
     with pytest.raises(ValueError, match="num_samples, num_sites"):
         cuking_tpu.king(np.zeros(5, dtype=np.int8))
