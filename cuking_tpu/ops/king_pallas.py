@@ -154,6 +154,15 @@ def panel_counts_pallas(
     wc = min(site_chunk_words, w)
     assert ni % ti == 0 and nj % tj == 0, (ni, nj, ti, tj)
     assert w % wc == 0, (w, wc)
+    # VMEM guard: the unpacked int8 tiles [3·T, 32·wc] ×2 plus the int32
+    # Gram scratch and double-buffered input blocks must fit in ~16 MiB.
+    # Clamp the chunk to the largest divisor of w within budget rather than
+    # failing at Mosaic compile time with a scoped-vmem OOM.
+    budget = 10 << 20
+    per_wc = 3 * 32 * (ti + tj)  # unpacked bytes per word-column
+    cap = max(1, budget // per_wc)
+    if wc > cap:
+        wc = next(c for c in range(min(cap, w), 0, -1) if w % c == 0)
     grid = (ni // ti, nj // tj, w // wc)
     if tri is None:
         tri = jnp.zeros((1,), jnp.int32)

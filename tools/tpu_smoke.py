@@ -1,6 +1,14 @@
-"""Real-TPU smoke test: Pallas kernel vs matmul/popcount paths + timing."""
+"""Real-TPU smoke test: Pallas kernel vs matmul/popcount paths + timing.
+
+Run from the repo root: ``python tools/tpu_smoke.py``.  (Do NOT use
+PYTHONPATH — it breaks this machine's TPU plugin discovery.)
+"""
+import sys
 import time
 import numpy as np
+
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 
@@ -14,9 +22,9 @@ print("backend:", jax.default_backend(), jax.devices())
 
 # Correctness at modest size
 g = random_genotypes(256, 3000, missing_rate=0.1, seed=5, num_related_pairs=3)
-layout = PlaneLayout.create(3000, words_multiple=512)
+layout = PlaneLayout.create(3000, words_multiple=128)
 planes = jnp.asarray(pack_genotypes(g, layout))
-c = panel_counts_pallas(planes, planes, site_chunk_words=512)
+c = panel_counts_pallas(planes, planes, site_chunk_words=128)
 e = oracle_counts(g, g)
 ok = all(np.array_equal(np.asarray(a), b) for a, b in zip(c, e))
 print("pallas exact vs oracle:", ok)
@@ -24,7 +32,7 @@ assert ok
 
 # Timing at production scale: panel=1024 samples, S=100k sites
 S = 100_000
-layout = PlaneLayout.create(S, words_multiple=512)
+layout = PlaneLayout.create(S, words_multiple=128)
 W = layout.words
 print(f"S={S} -> W={W} words, padded sites={layout.padded_sites}")
 rng = np.random.default_rng(0)
@@ -44,7 +52,7 @@ def bench(fn, name, iters=5):
           f"(at {S} sites)")
     return dt
 
-bench(lambda a, b: panel_counts_pallas(a, b, site_chunk_words=512), "pallas")
+bench(lambda a, b: panel_counts_pallas(a, b, site_chunk_words=128), "pallas")
 import functools
-mm = jax.jit(functools.partial(panel_counts_matmul, site_chunk_words=512))
+mm = jax.jit(functools.partial(panel_counts_matmul, site_chunk_words=128))
 bench(mm, "xla-matmul")
