@@ -211,10 +211,15 @@ def run(args: argparse.Namespace) -> None:
     submatrix = Submatrix.create(
         metadata.num_samples, args.split_factor, args.shard_index
     )
+    # Small cohorts don't need the full default panel: shrink to the
+    # smallest power of two covering the shard (≥128 to stay tile-friendly)
+    # so padding work doesn't dominate.
+    shard_n = max(submatrix.num_rows, submatrix.num_cols, 1)
+    panel = min(args.panel, max(128, 1 << (shard_n - 1).bit_length()))
     config = KingConfig(
         kin_threshold=args.kin_threshold,
         max_results=args.max_results,
-        panel=args.panel,
+        panel=panel,
         kernel=args.kernel,
         verbose=not args.quiet,
     )

@@ -16,6 +16,7 @@ Column NAMES are not checked, matching the reference.
 from __future__ import annotations
 
 import io
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -87,8 +88,7 @@ def ingest_parquet(
     scatter_lock = threading.Lock()
     progress = {"count": 0}
 
-    def process(path: str) -> None:
-        buf = storage.read_bytes(path)
+    def decode_and_scatter(path: str, buf: bytes) -> None:
         row_idx, col_idx, n_alt = _decode_file(buf, path)
         # Skip samples not stored here — outside this shard's Submatrix or,
         # for host-sharded storage, on another host (cuking.cu:676-678).
@@ -110,13 +110,46 @@ def ingest_parquet(
             if progress["count"] % 1024 == 0:
                 logger.dot()
 
+    # Two-stage pipeline.  The reference runs one 36-thread pool for a
+    # 12-vCPU task because reads are network-bound on GCS (cuking.cu:36-38,
+    # cloud_batch_submit.py:50); but decode + scatter are CPU-bound (Arrow
+    # releases the GIL yet also runs its own threads), and oversubscribing
+    # cores there makes ingest severalfold slower.  So: ``num_reader_threads``
+    # whole-object readers feeding a cores-sized decode pool, with in-flight
+    # buffers bounded so memory stays at ~2 blobs per decoder.
+    cpu_workers = max(1, min(num_reader_threads, os.cpu_count() or 1))
+    in_flight = threading.BoundedSemaphore(cpu_workers * 2)
     errors: list[BaseException] = []
-    with ThreadPoolExecutor(max_workers=num_reader_threads) as pool:
-        futures = [pool.submit(process, p) for p in input_files]
-        for fut in futures:
+
+    with ThreadPoolExecutor(max_workers=cpu_workers) as decode_pool:
+
+        def read_task(path: str):
+            in_flight.acquire()
+            try:
+                buf = storage.read_bytes(path)
+            except BaseException:
+                in_flight.release()
+                raise
+            return decode_pool.submit(release_after, path, buf)
+
+        def release_after(path: str, buf: bytes) -> None:
+            try:
+                decode_and_scatter(path, buf)
+            finally:
+                in_flight.release()
+
+        with ThreadPoolExecutor(max_workers=num_reader_threads) as read_pool:
+            read_futures = [read_pool.submit(read_task, p) for p in input_files]
+            decode_futures = []
+            for fut in read_futures:
+                try:
+                    decode_futures.append(fut.result())
+                except BaseException as e:  # one error propagates
+                    errors.append(e)  # (cuking.cu:414-432)
+        for fut in decode_futures:
             try:
                 fut.result()
-            except BaseException as e:  # propagate one error (cuking.cu:414-432)
+            except BaseException as e:
                 errors.append(e)
     if errors:
         raise errors[0]

@@ -58,6 +58,11 @@ class HostShardedStorage:
             if d.process_index == process
         ]
         self._block_of = {p: k for k, (p, _) in enumerate(self.local_blocks)}
+        # O(1) vectorized lookups for the ingest hot path (avoid per-element
+        # Python dispatch on ~10⁷-entry COO arrays).
+        self._block_lut = np.full(num_devices, -1, np.int64)
+        for k, (p, _) in enumerate(self.local_blocks):
+            self._block_lut[p] = k
         self.planes = bitset.allocate_planes(
             self.nd * len(self.local_blocks), layout
         )
@@ -67,18 +72,15 @@ class HostShardedStorage:
     def contains(self, global_idx: np.ndarray) -> np.ndarray:
         """True for samples stored on this host (cf. cuking.cu:675-678)."""
         global_idx = np.asarray(global_idx)
-        positions = global_idx // self.nd
-        local = np.isin(positions, list(self._block_of))
-        return local & (global_idx >= 0) & (global_idx < self.num_samples)
+        valid = (global_idx >= 0) & (global_idx < self.num_samples)
+        positions = np.minimum(global_idx // self.nd, len(self._block_lut) - 1)
+        return valid & (self._block_lut[positions] >= 0)
 
     def storage_offsets(self, global_idx: np.ndarray) -> np.ndarray:
         """Global sample index → row in this host's concatenated blocks;
         callers must only pass indices with ``contains(idx)`` true."""
         global_idx = np.asarray(global_idx)
-        positions = global_idx // self.nd
-        block = np.vectorize(self._block_of.__getitem__, otypes=[np.int64])(
-            positions
-        ) if len(global_idx) else np.zeros(0, np.int64)
+        block = self._block_lut[global_idx // self.nd]
         return block * self.nd + global_idx % self.nd
 
     # -- assembly ----------------------------------------------------------

@@ -106,10 +106,12 @@ class Submatrix:
         """
         import numpy as np
 
-        return np.where(
-            index < self.i_end,
-            index - self.i_begin,
-            (self.i_end - self.i_begin) + index - self.j_begin,
+        index = np.asarray(index)
+        # Branch-free (np.where is far slower on large arrays on some hosts):
+        # i-range → index - i_begin; j-range adds the stored-row rebase.
+        in_j = (index >= self.i_end).astype(index.dtype)
+        return index - self.i_begin + in_j * (
+            (self.i_end - self.i_begin) - self.j_begin + self.i_begin
         )
 
     def stored_sample_indices(self):
