@@ -39,6 +39,7 @@ def render_batch_job(
     split_factor: int,
     docker_image: str,
     requester_pays_project: str = "",
+    service_account: str = "",
     machine_type: str = "ct5lp-hightpu-1t",
     tpu_topology: str = "1x1",
     cpu_milli: int = 12000,
@@ -64,7 +65,7 @@ def render_batch_job(
         + f" --split_factor={split_factor}"
         + " --shard_index=$BATCH_TASK_INDEX"
     )
-    return {
+    job = {
         "taskGroups": [
             {
                 "taskSpec": {
@@ -108,12 +109,18 @@ def render_batch_job(
         },
         "logsPolicy": {"destination": "CLOUD_LOGGING"},
     }
+    if service_account:
+        # Must match the account the VM instances run as
+        # (cloud_batch_submit.py:19-20).
+        job["allocationPolicy"]["serviceAccount"] = {"email": service_account}
+    return job
 
 
 def submit_job(
     job: dict,
     *,
     location: str,
+    project: str = "",
     job_name: str | None = None,
     runner=subprocess.check_call,
 ) -> str:
@@ -125,12 +132,13 @@ def submit_job(
     ) as f:
         json.dump(job, f, indent=2)
         config_path = f.name
-    runner(
-        [
-            "gcloud", "batch", "jobs", "submit", job_name,
-            f"--location={location}", f"--config={config_path}",
-        ]
-    )
+    cmd = [
+        "gcloud", "batch", "jobs", "submit", job_name,
+        f"--location={location}", f"--config={config_path}",
+    ]
+    if project:
+        cmd.append(f"--project={project}")
+    runner(cmd)
     return job_name
 
 
@@ -184,8 +192,19 @@ def build_parser() -> argparse.ArgumentParser:
             "TPU-VM Cloud Batch tasks."
         )
     )
+    # Flag names follow the reference submitter (cloud_batch_submit.py:11-34)
+    # so existing pipelines swap in directly; --docker-image is the escape
+    # hatch when the image isn't at the conventional registry path.
     p.add_argument("--location", default="us-central1",
                    help="GCP region for the Batch job and TPU VMs")
+    p.add_argument("--project-id", default="",
+                   help="GCP project (defaults to the gcloud config project)")
+    p.add_argument("--tag-name", default="latest",
+                   help="Image tag in the project's Artifact Registry "
+                        "'images' repository (see Cloud Build substitutions)")
+    p.add_argument("--service-account", default="",
+                   help="Service account to run the job as (should match "
+                        "the VM instance template's)")
     p.add_argument("--input-uri", required=True,
                    help="gs:// directory with input Parquet + metadata.json")
     p.add_argument("--output-uri", required=True,
@@ -196,32 +215,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k: the matrix splits into k(k+1)/2 shards/tasks")
     p.add_argument("--requester-pays-project", default="",
                    help="User project for Requester Pays buckets")
-    p.add_argument("--docker-image", required=True,
-                   help="Artifact Registry URI of the cuking_tpu image")
+    p.add_argument("--docker-image", default="",
+                   help="Full image URI (overrides --project-id/--tag-name)")
     p.add_argument("--machine-type", default="ct5lp-hightpu-1t",
                    help="TPU VM machine type (one chip per shard)")
     p.add_argument("--render-only", action="store_true",
                    help="Print the Batch job JSON and exit (no submission)")
-    p.add_argument("--wait", action="store_true",
-                   help="Poll until the job completes; write _SUCCESS")
+    p.add_argument("--write-success-file", "--wait", dest="wait",
+                   action="store_true",
+                   help="Poll until the job completes; on success write a "
+                        "_SUCCESS file to the output directory")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    docker_image = args.docker_image or (
+        f"{args.location}-docker.pkg.dev/{args.project_id}/images/"
+        f"cuking_tpu:{args.tag_name}"
+    )
     job = render_batch_job(
         input_uri=args.input_uri,
         output_uri=args.output_uri,
         kin_threshold=args.kin_threshold,
         split_factor=args.split_factor,
         requester_pays_project=args.requester_pays_project,
-        docker_image=args.docker_image,
+        service_account=args.service_account,
+        docker_image=docker_image,
         machine_type=args.machine_type,
     )
     if args.render_only:
         print(json.dumps(job, indent=2))
         return 0
-    job_name = submit_job(job, location=args.location)
+    job_name = submit_job(job, location=args.location, project=args.project_id)
     print(f"Submitted job: {job_name}")
     if args.wait:
         state = wait_for_completion(

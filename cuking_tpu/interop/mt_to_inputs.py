@@ -80,27 +80,27 @@ def mt_to_cuking_inputs(mt, parquet_uri: str, overwrite: bool = False) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # Flag names match the reference script (mt_to_cuking_inputs.py:49-65)
+    # so existing pipelines swap in without changes.
     parser = argparse.ArgumentParser(
         description="Convert a Hail MatrixTable to cuKING input Parquet."
     )
     parser.add_argument(
-        "--mt-path-input", required=True,
-        help="Path of the input Hail MatrixTable",
+        "--mt-uri", required=True, help="Input URI for the Hail MT",
     )
     parser.add_argument(
-        "--parquet-path-output", required=True,
-        help="Directory to write the Parquet partitions + metadata.json to",
+        "--parquet-uri", required=True,
+        help="Output URI for the Parquet files",
     )
     parser.add_argument(
-        "--overwrite", action="store_true",
-        help="Overwrite an existing output directory",
+        "--overwrite", action="store_true", help="Overwrite output files",
     )
     args = parser.parse_args(argv)
 
     hl = _require_hail()
     hl.init(default_reference="GRCh38")
-    mt = hl.read_matrix_table(args.mt_path_input)
-    mt_to_cuking_inputs(mt, args.parquet_path_output, args.overwrite)
+    mt = hl.read_matrix_table(args.mt_uri)
+    mt_to_cuking_inputs(mt, args.parquet_uri, args.overwrite)
     return 0
 
 

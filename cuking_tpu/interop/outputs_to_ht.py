@@ -43,23 +43,27 @@ def cuking_outputs_to_ht(parquet_uri: str):
 
 
 def main(argv: list[str] | None = None) -> int:
+    # Flag names match the reference script (cuking_outputs_to_ht.py:18-34)
+    # so existing pipelines swap in without changes.
     parser = argparse.ArgumentParser(
         description="Convert cuking_tpu output Parquet to a Hail Table."
     )
     parser.add_argument(
-        "--parquet-path-input", required=True,
-        help="Directory containing the output Parquet partitions",
+        "--parquet-uri", required=True,
+        help="Input URI for the Parquet files",
     )
     parser.add_argument(
-        "--ht-path-output", required=True,
-        help="Path to write the keyed Hail Table to",
+        "--ht-uri", required=True, help="Output URI for the Hail table",
+    )
+    parser.add_argument(
+        "--overwrite", action="store_true", help="Overwrite output files",
     )
     args = parser.parse_args(argv)
 
     hl = _require_hail()
     hl.init(default_reference="GRCh38")
-    ht = cuking_outputs_to_ht(args.parquet_path_input)
-    ht.write(args.ht_path_output)
+    ht = cuking_outputs_to_ht(args.parquet_uri)
+    ht.write(args.ht_uri, overwrite=args.overwrite)
     return 0
 
 

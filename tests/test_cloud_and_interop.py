@@ -115,6 +115,29 @@ def test_batch_submit_render_only_cli(capsys):
     assert job["taskGroups"][0]["taskCount"] == 6
 
 
+def test_batch_submit_reference_style_flags(capsys):
+    """The reference submitter's flag set (cloud_batch_submit.py:11-34)
+    works drop-in: image from project-id+tag-name, service account set."""
+    from cuking_tpu.cloud import batch_submit
+
+    rc = batch_submit.main([
+        "--location", "us-central1", "--project-id", "my-proj",
+        "--tag-name", "v1.2", "--service-account", "cuking@my-proj.iam",
+        "--input-uri", "gs://b/in", "--output-uri", "gs://b/out",
+        "--requester-pays-project", "my-proj",
+        "--kin-threshold", "0.05", "--split-factor", "4", "--render-only",
+    ])
+    assert rc == 0
+    job = json.loads(capsys.readouterr().out)
+    container = job["taskGroups"][0]["taskSpec"]["runnables"][0]["container"]
+    assert container["imageUri"] == (
+        "us-central1-docker.pkg.dev/my-proj/images/cuking_tpu:v1.2"
+    )
+    assert job["allocationPolicy"]["serviceAccount"]["email"] == (
+        "cuking@my-proj.iam"
+    )
+
+
 def test_batch_parser_requires_core_flags():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["--input-uri", "gs://b/in"])
