@@ -1,0 +1,60 @@
+"""Randomized cross-validation: engine vs the O(N²·S) numpy oracle over
+varied shapes, missing rates, thresholds, kernels, and shard splits —
+broadens the correctness net beyond the hand-picked cases."""
+
+import numpy as np
+import pytest
+
+from cuking_tpu.models.king import KingConfig, KingEngine
+from cuking_tpu.parallel.submatrix import Submatrix, num_shards
+from cuking_tpu.utils.synthetic import random_genotypes
+
+from tests.test_engine import assert_resultsets_equal, oracle_resultset
+
+
+CASES = [
+    # (n, s, missing, threshold, kernel, panel, seed)
+    (17, 95, 0.0, 0.0884, "matmul", 16, 100),
+    (33, 257, 0.3, 0.05, "matmul", 16, 101),
+    (64, 128, 0.5, -2.0, "popcount", 32, 102),   # keep everything finite
+    (21, 1000, 0.15, 0.2, "matmul", 32, 103),
+    (48, 333, 0.08, 0.0, "popcount", 16, 104),
+]
+
+
+@pytest.mark.parametrize("n,s,missing,threshold,kernel,panel,seed", CASES)
+def test_engine_fuzz_vs_oracle(n, s, missing, threshold, kernel, panel, seed):
+    g = random_genotypes(
+        n, s, missing_rate=missing, seed=seed, num_related_pairs=min(3, n // 4)
+    )
+    cfg = KingConfig(
+        kin_threshold=threshold, kernel=kernel, panel=panel,
+        site_chunk_words=16, sweep_batch=4,
+    )
+    got = KingEngine.from_genotypes(g, cfg).run()
+    exp = oracle_resultset(g, threshold)
+    assert_resultsets_equal(got, exp)
+
+
+def test_engine_fuzz_sharded_merge(tmp_path):
+    """Random shard splits: the union over all shards equals unsharded."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = int(rng.integers(20, 60))
+        s = int(rng.integers(64, 400))
+        split = int(rng.integers(2, 5))
+        g = random_genotypes(n, s, missing_rate=0.1, seed=200 + trial,
+                             num_related_pairs=2)
+        cfg = KingConfig(kin_threshold=0.05, kernel="matmul", panel=16,
+                         site_chunk_words=16, sweep_batch=4)
+        parts = []
+        for shard in range(num_shards(split)):
+            sub = Submatrix.create(n, split, shard)
+            parts.append(
+                KingEngine.from_genotypes(g, cfg, submatrix=sub).run()
+            )
+        from cuking_tpu.models.king import ResultSet
+
+        merged = ResultSet.concat_and_sort(parts)
+        exp = oracle_resultset(g, 0.05)
+        assert_resultsets_equal(merged, exp)

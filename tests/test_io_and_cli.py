@@ -220,6 +220,17 @@ def test_cli_use_mesh_rejects_split_factor(tmp_path, capsys):
     assert "--use_mesh" in capsys.readouterr().err
 
 
+def test_cli_profile_dir_writes_trace(tmp_path):
+    g = random_genotypes(20, 200, missing_rate=0.1, seed=8)
+    make_input(tmp_path, g)
+    prof = tmp_path / "trace"
+    rc = run_cli(cli_common(tmp_path, [
+        "--kin_threshold", "0.05", "--profile_dir", str(prof),
+    ]))
+    assert rc == 0
+    assert prof.is_dir() and any(prof.rglob("*"))  # trace artifacts exist
+
+
 def test_cli_skip_existing(tmp_path):
     """--skip_existing short-circuits when the shard's partition exists —
     idempotent restarts of the fan-out (README.md:102 semantics)."""
