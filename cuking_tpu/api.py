@@ -59,7 +59,13 @@ def king(
     # Pad the sample axis to a tile-friendly multiple with all-missing rows
     # (self-masking: zero counts, NaN kin, sliced off below) so any kernel —
     # including the tile-divisibility-constrained Pallas path — accepts it.
-    n_pad = -(-max(n, 1) // 256) * 256 if kernel is not None else n
+    if kernel is not None:
+        from cuking_tpu.ops.king_pallas import TILE_I, TILE_J
+
+        tile = max(TILE_I, TILE_J)
+        n_pad = -(-max(n, 1) // tile) * tile
+    else:
+        n_pad = n
     if n_pad > n:
         pad = np.full(
             (2, n_pad - n, layout.words), 0xFFFFFFFF, dtype=np.uint32

@@ -18,6 +18,8 @@ from __future__ import annotations
 import argparse
 import sys
 
+import numpy as np
+
 from cuking_tpu.io.metadata import read_metadata
 from cuking_tpu.io.parquet_ingest import ingest_parquet
 from cuking_tpu.io.uri import Storage
@@ -107,7 +109,15 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     logger.print(
         f"Using a {mesh.devices.size}-device mesh for the ring sweep."
     )
-    capacity = -(-args.max_results // mesh.devices.size)
+    # Per-device buffer: 2× the even share of max_results (capped at the
+    # global limit) so row-skewed hits — families are usually adjacent in
+    # sample order and land in one device's row block — don't overflow a
+    # device buffer while the GLOBAL count (the reference's --max_results
+    # semantic, cuking.cu:747-751) is still within budget.
+    capacity = min(
+        args.max_results,
+        max(2 * (-(-args.max_results // mesh.devices.size)), 1 << 14),
+    )
     if isinstance(panel_storage, HostShardedStorage):
         # Host-sharded path: assemble the global array from this host's
         # per-device blocks (no host holds the whole cohort).
@@ -130,8 +140,8 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             row_multiple=_mesh_row_multiple(config),
         )
     if args.distributed:
-        return ring_output_local_resultset(out, capacity)
-    return ring_output_to_resultset(out, capacity)
+        return ring_output_local_resultset(out, capacity, args.max_results)
+    return ring_output_to_resultset(out, capacity, args.max_results)
 
 
 def _make_mesh():
@@ -182,12 +192,30 @@ def run(args: argparse.Namespace) -> None:
 
     shard_index = args.shard_index
     if args.distributed:
+        import os as _os
+
         import jax
 
         try:
             jax.distributed.initialize()
-        except Exception as e:  # single-process runs have no coordinator
-            logger.print(f"jax.distributed.initialize() skipped: {e}")
+        except Exception:
+            # A configured coordinator that fails to come up must be fatal:
+            # silently continuing would give every host process_index()==0, a
+            # local-only mesh, a full-cohort bitset per host (defeating the
+            # sharded memory model), and races on part-00000.  Only proceed
+            # single-process when no coordinator was configured (local runs).
+            if any(
+                _os.environ.get(k)
+                for k in (
+                    "JAX_COORDINATOR_ADDRESS",
+                    "COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS",
+                )
+            ):
+                raise
+            logger.print(
+                "No distributed coordinator configured; running single-process."
+            )
         # Each host owns one disjoint output partition, keyed by its process
         # index — the pod-slice analogue of the per-shard part files.
         shard_index = jax.process_index()
@@ -200,7 +228,23 @@ def run(args: argparse.Namespace) -> None:
         from cuking_tpu.io.writer import partition_name
 
         part_uri = storage.join(args.output_uri, partition_name(shard_index))
-        if storage.exists(part_uri):
+        mine_exists = storage.exists(part_uri)
+        if args.distributed:
+            # The skip decision must be COLLECTIVE: the ring sweep spans every
+            # chip in the slice, so a host that returns early while others
+            # enter the shard_map would deadlock the collective.  Skip only
+            # when every host's partition exists; otherwise all hosts
+            # recompute (idempotent per-partition rewrites, README.md:102).
+            import jax
+            from jax.experimental import multihost_utils
+
+            all_exist = multihost_utils.process_allgather(
+                np.asarray([mine_exists])
+            ).all()
+            if all_exist:
+                logger.print("All output partitions exist; skipping.")
+                return
+        elif mine_exists:
             logger.print(f"Output {part_uri} already exists; skipping.")
             return
 

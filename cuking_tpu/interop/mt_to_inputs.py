@@ -10,8 +10,8 @@ sparse), ZSTD-compressed by Spark — plus ``metadata.json`` holding
 Run on a Dataproc/Spark cluster with Hail installed::
 
     python -m cuking_tpu.interop.mt_to_inputs \
-        --mt-path-input gs://bucket/cohort.mt \
-        --parquet-path-output gs://bucket/cohort.parquet
+        --mt-uri gs://bucket/cohort.mt \
+        --parquet-uri gs://bucket/cohort.parquet
 
 Without Hail installed, importing this module is fine; calling it raises
 FailedPreconditionError.  For local/synthetic inputs use

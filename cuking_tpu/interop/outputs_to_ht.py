@@ -8,8 +8,8 @@ Hail Table, key by ``(i, j)`` so downstream steps (e.g.
 Run on a Dataproc/Spark cluster with Hail installed::
 
     python -m cuking_tpu.interop.outputs_to_ht \
-        --parquet-path-input gs://bucket/out.parquet \
-        --ht-path-output gs://bucket/relatedness.ht
+        --parquet-uri gs://bucket/out.parquet \
+        --ht-uri gs://bucket/relatedness.ht
 
 For Hail-free local verification use
 ``cuking_tpu.io.writer.read_results_table`` (same partitions, pyarrow).

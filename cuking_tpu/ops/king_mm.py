@@ -90,8 +90,12 @@ def panel_counts_matmul(
     del tri
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
+    # The chunk must divide W; rather than asserting (W's multiple depends on
+    # the layout's words_multiple, which callers may pick independently),
+    # clamp to the largest divisor of W not exceeding the request.
     chunk = min(site_chunk_words, w)
-    assert w % chunk == 0, (w, chunk)
+    if w % chunk:
+        chunk = next(c for c in range(chunk, 0, -1) if w % c == 0)
     n_chunks = w // chunk
 
     def body(carry, idx):

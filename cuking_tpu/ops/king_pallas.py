@@ -151,18 +151,18 @@ def panel_counts_pallas(
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
     ti, tj = min(tile_i, ni), min(tile_j, nj)
-    wc = min(site_chunk_words, w)
     assert ni % ti == 0 and nj % tj == 0, (ni, nj, ti, tj)
-    assert w % wc == 0, (w, wc)
-    # VMEM guard: the unpacked int8 tiles [3·T, 32·wc] ×2 plus the int32
-    # Gram scratch and double-buffered input blocks must fit in ~16 MiB.
-    # Clamp the chunk to the largest divisor of w within budget rather than
-    # failing at Mosaic compile time with a scoped-vmem OOM.
+    # Chunk selection: the largest divisor of W that fits both the request
+    # and the VMEM budget — the unpacked int8 tiles [3·T, 32·wc] ×2 plus the
+    # int32 Gram scratch and double-buffered input blocks must stay inside
+    # ~16 MiB, and W's multiple depends on the caller's layout choice, so
+    # neither constraint is an assertion (a bad combination must not fail at
+    # Mosaic compile time with a scoped-vmem OOM).
     budget = 10 << 20
     per_wc = 3 * 32 * (ti + tj)  # unpacked bytes per word-column
-    cap = max(1, budget // per_wc)
-    if wc > cap:
-        wc = next(c for c in range(min(cap, w), 0, -1) if w % c == 0)
+    wc = min(site_chunk_words, w, max(1, budget // per_wc))
+    if w % wc:
+        wc = next(c for c in range(wc, 0, -1) if w % c == 0)
     grid = (ni // ti, nj // tj, w // wc)
     if tri is None:
         tri = jnp.zeros((1,), jnp.int32)

@@ -187,7 +187,7 @@ def all_pairs_presharded(
 
 
 def ring_output_local_resultset(
-    out: RingOutput, capacity_per_device: int
+    out: RingOutput, capacity_per_device: int, max_results: int | None = None
 ) -> ResultSet:
     """Multi-host variant: extracts only THIS process's device buffers.
 
@@ -203,6 +203,11 @@ def ring_output_local_resultset(
         for s in out.counts.addressable_shards
     }
     if any(c > capacity_per_device for c in local_counts.values()):
+        raise ResourceExhaustedError(
+            "Could not store all results: try increasing the "
+            "--max_results parameter."
+        )
+    if max_results is not None and sum(local_counts.values()) > max_results:
         raise ResourceExhaustedError(
             "Could not store all results: try increasing the "
             "--max_results parameter."
@@ -226,12 +231,18 @@ def ring_output_local_resultset(
 
 
 def ring_output_to_resultset(
-    out: RingOutput, capacity_per_device: int
+    out: RingOutput, capacity_per_device: int, max_results: int | None = None
 ) -> ResultSet:
     """Host-side gather of per-device buffers → sorted ResultSet; raises on
-    overflow like cuking.cu:747-751."""
+    overflow like cuking.cu:747-751.
+
+    Two overflow conditions: a device exceeding its physical buffer, and —
+    when ``max_results`` is given — the GLOBAL total exceeding it (the
+    reference's semantic, which bounds only the global count)."""
     counts = np.asarray(out.counts)
-    if (counts > capacity_per_device).any():
+    if (counts > capacity_per_device).any() or (
+        max_results is not None and counts.sum() > max_results
+    ):
         raise ResourceExhaustedError(
             "Could not store all results: try increasing the "
             "--max_results parameter."

@@ -74,6 +74,28 @@ def test_all_missing_sample(kernel_name):
         assert (arr[:, 3] == 0).all(), name
 
 
+def test_chunk_not_dividing_words_is_clamped():
+    """site_chunk_words larger than (or coprime to) W must clamp to a
+    divisor, not crash — W's multiple is the layout's choice, not the
+    kernel caller's (regression: chunk=512 with words_multiple=128)."""
+    g = random_genotypes(16, 17_000 // 100, missing_rate=0.1, seed=19)
+    # W = 20 words (640 sites at wm=4): chunk requests 512 and 7 both work.
+    layout = PlaneLayout.create(g.shape[1], words_multiple=4)
+    planes = pack_genotypes(g, layout)
+    expected = oracle_counts(g, g)
+    for chunk in (512, 7):
+        got_mm = panel_counts_matmul(
+            jnp.asarray(planes), jnp.asarray(planes), site_chunk_words=chunk
+        )
+        got_pl = panel_counts_pallas(
+            jnp.asarray(planes), jnp.asarray(planes),
+            site_chunk_words=chunk, tile_i=8, tile_j=8, interpret=True,
+        )
+        for exp, a, b in zip(expected, got_mm, got_pl):
+            assert np.array_equal(np.asarray(a), exp)
+            assert np.array_equal(np.asarray(b), exp)
+
+
 def test_pallas_triangle_skip_upper_tiles_exact():
     """With tri=1 (diagonal panel pair), tiles on/above the tile diagonal are
     still exact; below-diagonal tiles are unspecified and must be masked by
