@@ -36,6 +36,23 @@ def test_engine_fuzz_vs_oracle(n, s, missing, threshold, kernel, panel, seed):
     assert_resultsets_equal(got, exp)
 
 
+def test_engine_exact_fallback_on_dense_hits():
+    """A step whose hits exceed the fast-path per-step buffer (cap_step =
+    min(panel², 2¹⁴)) must be recomputed exactly at full panel² capacity:
+    panel=256 with threshold=-2 makes every i<j pair a hit (32,640 >
+    16,384)."""
+    n = 256
+    g = random_genotypes(n, 64, missing_rate=0.0, seed=300)
+    cfg = KingConfig(
+        kin_threshold=-2.0, kernel="matmul", panel=256, site_chunk_words=16,
+        sweep_batch=2, max_results=100_000,
+    )
+    got = KingEngine.from_genotypes(g, cfg).run()
+    exp = oracle_resultset(g, -2.0)
+    assert len(exp) > 16384  # the fallback actually triggered territory
+    assert_resultsets_equal(got, exp)
+
+
 def test_engine_fuzz_sharded_merge(tmp_path):
     """Random shard splits: the union over all shards equals unsharded."""
     rng = np.random.default_rng(7)
