@@ -50,6 +50,14 @@ def _decode_file(buf: bytes, source: str):
             raise FailedPreconditionError(
                 f"Expected {expected} type, found {col.type} in {source}"
             )
+        if col.null_count:
+            # to_numpy would silently convert a nullable int column to
+            # float64 with NaN, which passes the n_alt range check and packs
+            # as hom-ref — a null must be a hard error, matching the
+            # reference's value-level validation posture (cuking.cu:698-701).
+            raise FailedPreconditionError(
+                f"Null value in column {idx} in {source}"
+            )
         cols.append(col.to_numpy(zero_copy_only=False))
     return cols[0], cols[1], cols[2]
 

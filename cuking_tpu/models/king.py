@@ -35,6 +35,7 @@ from jax import lax
 
 from cuking_tpu.ops import bitset
 from cuking_tpu.ops.bitset import PlaneLayout
+from cuking_tpu.ops.compaction import scatter_hits
 from cuking_tpu.ops.king_jnp import panel_counts_popcount
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.ops.king_mm import panel_counts_matmul
@@ -276,19 +277,6 @@ class KingEngine:
         gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
         return mask, (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
 
-    @staticmethod
-    def _scatter_hits(mask, fields, capacity):
-        flat = mask.ravel()
-        pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
-        pos = jnp.where(flat, pos, capacity)
-        fills = (-1, -1, jnp.float32(0), 0, 0, 0)
-        return tuple(
-            jnp.full((capacity,), fill, f.dtype).at[pos].set(
-                f.ravel(), mode="drop", unique_indices=True
-            )
-            for f, fill in zip(fields, fills)
-        )
-
     def _build_sweep(self):
         panel = self.config.panel
         cap_step = int(min(panel * panel, 1 << 14))
@@ -310,7 +298,7 @@ class KingEngine:
                 total = jnp.sum(mask, dtype=jnp.int32)
 
                 def compact(_):
-                    return self._scatter_hits(mask, fields, cap_step)
+                    return scatter_hits(mask, fields, cap_step)
 
                 return total, lax.cond(total > 0, compact, empty, None)
 
@@ -333,7 +321,7 @@ class KingEngine:
             self._planes_dev_ref[0] = planes
             self._threshold_ref[0] = threshold
             mask, fields = self._pair_compute(planes, row)
-            return self._scatter_hits(mask, fields, panel * panel)
+            return scatter_hits(mask, fields, panel * panel)
 
         self._planes_dev_ref = [None]
         self._threshold_ref = [None]
@@ -394,22 +382,12 @@ class KingEngine:
                 ibs2=np.asarray(sel(bufs[5])),
             )
 
-        # Dispatch every batch asynchronously; sync/fetch only afterwards so
-        # host↔device round-trips don't serialize the device work.
-        pending = []
-        for lo in range(0, num_steps, batch):
-            chunk = params[lo : lo + batch]
-            if len(chunk) < batch:
-                # Pad with no-op rows (zero valid samples → skipped on device).
-                pad = np.zeros((batch - len(chunk), 6), np.int32)
-                chunk = np.concatenate([chunk, pad], axis=0)
-            chunk_dev = jnp.asarray(chunk)
-            pending.append((chunk_dev, sweep(planes_dev, chunk_dev, threshold)))
-
-        for chunk_dev, (running, totals, bufs) in pending:
+        def consume(entry) -> None:
+            nonlocal total
+            chunk_dev, (running, totals, bufs) = entry
             count = int(running)
             if count == 0:
-                continue
+                return
             total += count
             per_step = np.asarray(totals)
             for k in np.nonzero(per_step)[0]:
@@ -421,6 +399,29 @@ class KingEngine:
                     # recompute it at full panel² capacity (exact).
                     full = exact_step(planes_dev, chunk_dev[int(k)], threshold)
                     parts.append(fetch(full, c))
+
+        # Dispatch batches asynchronously so host↔device round-trips don't
+        # serialize the device work, but bound the in-flight window: each
+        # batch's scan outputs hold six [batch, cap_step] device buffers
+        # (~25 MiB at defaults), and a large shard has thousands of batches —
+        # unbounded dispatch would accumulate all of them in HBM alongside
+        # the planes.
+        from collections import deque
+
+        window = 4
+        pending: deque = deque()
+        for lo in range(0, num_steps, batch):
+            chunk = params[lo : lo + batch]
+            if len(chunk) < batch:
+                # Pad with no-op rows (zero valid samples → skipped on device).
+                pad = np.zeros((batch - len(chunk), 6), np.int32)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            chunk_dev = jnp.asarray(chunk)
+            pending.append((chunk_dev, sweep(planes_dev, chunk_dev, threshold)))
+            if len(pending) >= window:
+                consume(pending.popleft())
+        while pending:
+            consume(pending.popleft())
         self.logger.end("king_kernel")
 
         if total > cfg.max_results:

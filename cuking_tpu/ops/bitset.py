@@ -133,14 +133,18 @@ def clear_bits_coo(
         if not assume_unique:
             keys = np.unique((lin_p << 5) | bit_p)
             lin_p, bit_p = keys >> 5, keys & 31
-        # OR-accumulate clear masks: with unique (word, bit) pairs, a weighted
-        # bincount of powers of two is an exact bitwise OR (sums of distinct
-        # powers of two < 2^32 are exact in float64).
-        acc = np.bincount(
-            lin_p, weights=(1 << bit_p).astype(np.float64), minlength=plane_size
-        )
-        acc = acc.astype(np.uint32)
-        flat[plane] &= ~acc
+        # Sort-and-segment OR: group entries by word, bitwise-OR each group's
+        # clear masks with reduceat, then clear the touched words only.
+        # O(nnz log nnz) time and O(nnz) memory — a full-plane bincount would
+        # be O(plane_size) work and multi-GB float64 temporaries per call at
+        # gnomAD scale (plane_size ≈ samples × words).
+        order = np.argsort(lin_p, kind="stable")
+        lin_s = lin_p[order]
+        masks = np.uint32(1) << bit_p[order].astype(np.uint32)
+        starts = np.flatnonzero(np.r_[True, lin_s[1:] != lin_s[:-1]])
+        or_vals = np.bitwise_or.reduceat(masks, starts)
+        words_touched = lin_s[starts]
+        flat[plane][words_touched] &= ~or_vals
 
 
 def pack_genotypes(genotypes: np.ndarray, layout: PlaneLayout) -> np.ndarray:

@@ -28,6 +28,26 @@ class CompactedPanel(NamedTuple):
     ibs2: jnp.ndarray   # [capacity] int32
 
 
+FIELD_FILLS = (-1, -1, jnp.float32(0), 0, 0, 0)  # i, j, kin, ibs0/1/2
+
+
+def scatter_hits(mask: jnp.ndarray, fields, capacity: int) -> tuple:
+    """The one masked cumsum-scatter primitive shared by the engine and
+    compact_panel: fields ``(i, j, kin, ibs0, ibs1, ibs2)`` of any common
+    shape are flattened row-major and packed into [capacity] buffers at the
+    masked positions; positions past capacity are dropped (``mode='drop'``).
+    Positions are unique by construction (a cumsum over the mask)."""
+    flat = mask.ravel()
+    pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
+    pos = jnp.where(flat, pos, capacity)  # out-of-bounds → dropped
+    return tuple(
+        jnp.full((capacity,), fill, f.dtype).at[pos].set(
+            f.ravel(), mode="drop", unique_indices=True
+        )
+        for f, fill in zip(fields, FIELD_FILLS)
+    )
+
+
 def compact_panel(
     mask: jnp.ndarray,
     i_idx: jnp.ndarray,
@@ -45,21 +65,6 @@ def compact_panel(
     ``capacity == NI*NJ`` so per-panel overflow is impossible and only the
     global ``max_results`` check applies.
     """
-    flat_mask = mask.ravel()
-    total = jnp.sum(flat_mask, dtype=jnp.int32)
-    pos = jnp.cumsum(flat_mask, dtype=jnp.int32) - 1
-    pos = jnp.where(flat_mask, pos, capacity)  # out-of-bounds → dropped
-
-    def scatter(values: jnp.ndarray, fill) -> jnp.ndarray:
-        out = jnp.full((capacity,), fill, values.dtype)
-        return out.at[pos].set(values.ravel(), mode="drop")
-
-    return CompactedPanel(
-        total=total,
-        i_idx=scatter(i_idx, -1),
-        j_idx=scatter(j_idx, -1),
-        kin=scatter(kin, jnp.float32(0)),
-        ibs0=scatter(ibs0, 0),
-        ibs1=scatter(ibs1, 0),
-        ibs2=scatter(ibs2, 0),
-    )
+    total = jnp.sum(mask.ravel(), dtype=jnp.int32)
+    bufs = scatter_hits(mask, (i_idx, j_idx, kin, ibs0, ibs1, ibs2), capacity)
+    return CompactedPanel(total, *bufs)

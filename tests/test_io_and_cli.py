@@ -107,6 +107,32 @@ def test_ingest_rejects_wrong_schema(tmp_path):
                        num_reader_threads=1, use_native=False)
 
 
+def test_ingest_rejects_null_values(tmp_path):
+    """Nullable int columns silently become float64+NaN via to_numpy; a null
+    must be a hard error, not a silent hom-ref (regression)."""
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    table = pa.Table.from_arrays(
+        [
+            pa.array([0, 1, None], type=pa.int64()),
+            pa.array([0, 1, 2], type=pa.int64()),
+            pa.array([0, 1, 2], type=pa.int32()),
+        ],
+        names=["row_idx", "col_idx", "n_alt_alleles"],
+    )
+    pq.write_table(table, os.path.join(input_uri, "part-0.parquet"))
+    json_meta = {"num_sites": 4, "samples": ["a", "b", "c"]}
+    with open(os.path.join(input_uri, "metadata.json"), "w") as f:
+        json.dump(json_meta, f)
+
+    storage = Storage()
+    layout = PlaneLayout.create(4, words_multiple=2)
+    ps = PanelStorage(layout, Submatrix.create(3, 1, 0), 4)
+    with pytest.raises(FailedPreconditionError, match="Null value in column 0"):
+        ingest_parquet(storage, storage.list_parquet_files(input_uri), ps,
+                       num_reader_threads=1)
+
+
 def test_ingest_rejects_bad_n_alt(tmp_path):
     t = pa.Table.from_arrays(
         [pa.array([0], type=pa.int64()), pa.array([0], type=pa.int64()),
