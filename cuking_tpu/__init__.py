@@ -21,6 +21,7 @@ instead of the reference's share-nothing GCS sharding (which is also kept, as
 __version__ = "0.1.0"
 
 from cuking_tpu.api import king  # noqa: F401
+from cuking_tpu.prune import related_samples_to_drop  # noqa: F401
 from cuking_tpu.models.king import KingConfig, KingEngine, ResultSet  # noqa: F401
 from cuking_tpu.ops.king_math import KingCounts, KingResult  # noqa: F401
 from cuking_tpu.parallel.submatrix import Submatrix  # noqa: F401
