@@ -14,6 +14,7 @@ publishes no numbers (BASELINE.md), so the baseline is the non-MXU path.
 Prints exactly one JSON line on stdout; diagnostics go to stderr.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -74,7 +75,6 @@ def main():
     iters = 3
     thresholds = [0.9 + 1e-4 * k for k in range(1, iters + 1)]
     t0 = time.perf_counter()
-    import dataclasses
     for thr in thresholds:
         engine.config = dataclasses.replace(engine.config, kin_threshold=thr)
         engine.run()

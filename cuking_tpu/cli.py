@@ -96,28 +96,20 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     host extracts only its own devices' result buffers (share-nothing
     outputs, like the reference's independent shards, README.md:102)."""
     from cuking_tpu.models.king import _resolve_kernel
+    from cuking_tpu.parallel.distributed import HostShardedStorage
     from cuking_tpu.parallel.ring import (
         all_pairs_presharded,
         all_pairs_sharded,
+        default_capacity_per_device,
         ring_output_local_resultset,
         ring_output_to_resultset,
     )
-
-    from cuking_tpu.parallel.distributed import HostShardedStorage
 
     mesh = _make_mesh()
     logger.print(
         f"Using a {mesh.devices.size}-device mesh for the ring sweep."
     )
-    # Per-device buffer: 2× the even share of max_results (capped at the
-    # global limit) so row-skewed hits — families are usually adjacent in
-    # sample order and land in one device's row block — don't overflow a
-    # device buffer while the GLOBAL count (the reference's --max_results
-    # semantic, cuking.cu:747-751) is still within budget.
-    capacity = min(
-        args.max_results,
-        max(2 * (-(-args.max_results // mesh.devices.size)), 1 << 14),
-    )
+    capacity = default_capacity_per_device(args.max_results, mesh.devices.size)
     if isinstance(panel_storage, HostShardedStorage):
         # Host-sharded path: assemble the global array from this host's
         # per-device blocks (no host holds the whole cohort).
@@ -146,7 +138,6 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
 
 def _make_mesh():
     import jax
-    import numpy as np
     from jax.sharding import Mesh
 
     return Mesh(np.array(jax.devices()), axis_names=("samples",))
@@ -155,12 +146,9 @@ def _make_mesh():
 def _mesh_row_multiple(config: KingConfig) -> int:
     """Per-device row-count multiple for the ring sweep: the Pallas kernel
     needs tile-divisible panels; other kernels take any size."""
-    import jax
+    from cuking_tpu.models.king import resolve_kernel_name
 
-    kernel_name = config.kernel
-    if kernel_name == "auto":
-        kernel_name = "pallas" if jax.default_backend() == "tpu" else "matmul"
-    if kernel_name == "pallas":
+    if resolve_kernel_name(config) == "pallas":
         from cuking_tpu.ops.king_pallas import TILE_I
 
         return TILE_I
@@ -258,8 +246,10 @@ def run(args: argparse.Namespace) -> None:
     # Small cohorts don't need the full default panel: shrink to the
     # smallest power of two covering the shard (≥128 to stay tile-friendly)
     # so padding work doesn't dominate.
+    from cuking_tpu.models.king import _ceil_pow2
+
     shard_n = max(submatrix.num_rows, submatrix.num_cols, 1)
-    panel = min(args.panel, max(128, 1 << (shard_n - 1).bit_length()))
+    panel = min(args.panel, max(128, _ceil_pow2(shard_n)))
     config = KingConfig(
         kin_threshold=args.kin_threshold,
         max_results=args.max_results,

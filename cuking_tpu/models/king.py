@@ -23,6 +23,7 @@ launch (cuking.cu:435-751), redesigned for XLA's compilation model:
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable
@@ -97,10 +98,15 @@ class ResultSet:
         return cls(**{k: v[order] for k, v in fields.items()})
 
 
+def resolve_kernel_name(config: KingConfig) -> str:
+    """'auto' → the fast path for the current backend."""
+    if config.kernel == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "matmul"
+    return config.kernel
+
+
 def _resolve_kernel(config: KingConfig) -> Callable:
-    name = config.kernel
-    if name == "auto":
-        name = "pallas" if jax.default_backend() == "tpu" else "matmul"
+    name = resolve_kernel_name(config)
     if name == "popcount":
         return partial(panel_counts_popcount, row_block=config.popcount_row_block)
     if name == "matmul":
@@ -406,8 +412,6 @@ class KingEngine:
         # (~25 MiB at defaults), and a large shard has thousands of batches —
         # unbounded dispatch would accumulate all of them in HBM alongside
         # the planes.
-        from collections import deque
-
         window = 4
         pending: deque = deque()
         for lo in range(0, num_steps, batch):

@@ -36,6 +36,16 @@ from cuking_tpu.utils.status import ResourceExhaustedError
 AXIS = "samples"
 
 
+def default_capacity_per_device(max_results: int, num_devices: int) -> int:
+    """Per-device hit-buffer size for a given global ``max_results``: 2× the
+    even share (floored at 2¹⁴, capped at the global limit), so row-skewed
+    hits — families are usually adjacent in sample order and land in one
+    device's row block — don't overflow a device buffer while the GLOBAL
+    count (the reference's --max_results semantic, cuking.cu:747-751) is
+    still within budget."""
+    return min(max_results, max(2 * (-(-max_results // num_devices)), 1 << 14))
+
+
 class RingOutput(NamedTuple):
     """Per-device compacted results, concatenated on the host."""
 
