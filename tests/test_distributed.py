@@ -84,6 +84,25 @@ def test_host_sharded_ingest_matches_replicated(tmp_path):
     assert_resultsets_equal(got_rs, exp)
 
 
+def test_host_sharded_row_multiple_padding():
+    """row_multiple rounds nd up; padding rows stay missing and self-mask."""
+    g = random_genotypes(19, 200, missing_rate=0.1, seed=44, num_related_pairs=2)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    mesh = make_mesh(4)
+    st = HostShardedStorage(layout, 19, mesh, row_multiple=8)
+    assert st.nd == 8 and st.n_pad == 32
+    stored = np.arange(19)
+    st.planes[:, st.storage_offsets(stored), :] = pack_genotypes(g, layout)
+    out = all_pairs_presharded(
+        st.to_global_array(), 19, mesh, kernel, kin_threshold=0.05,
+        capacity_per_device=1024,
+    )
+    got = ring_output_to_resultset(out, 1024)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(got, exp)
+
+
 def test_presharded_equals_sharded_entry():
     g = random_genotypes(50, 400, missing_rate=0.05, seed=42, num_related_pairs=2)
     layout = PlaneLayout.create(400, words_multiple=16)

@@ -94,6 +94,32 @@ def test_ring_local_resultset_overflow():
         ring_output_local_resultset(out, 8)
 
 
+def test_ring_with_pallas_interpret_kernel():
+    """The production TPU combination — Pallas kernel + tri diagonal skip
+    inside the shard_map ring — in interpret mode on the CPU mesh."""
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
+    g = random_genotypes(32, 256, missing_rate=0.1, seed=37, num_related_pairs=3)
+    layout = PlaneLayout.create(256, words_multiple=8)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+
+    def pallas_kernel(pi, pj, tri):
+        return panel_counts_pallas(
+            pi, pj, tri, site_chunk_words=8, tile_i=8, tile_j=8,
+            interpret=True,
+        )
+
+    out = all_pairs_sharded(
+        planes, 32, mesh, pallas_kernel,
+        kin_threshold=0.05, capacity_per_device=4096, row_multiple=8,
+    )
+    got = ring_output_to_resultset(out, 4096)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(got, exp)
+
+
 def test_ring_overflow_detection():
     g = random_genotypes(32, 200, missing_rate=0.0, seed=34)
     layout = PlaneLayout.create(200, words_multiple=16)
