@@ -24,7 +24,7 @@ launch (cuking.cu:435-751), redesigned for XLA's compilation model:
 from __future__ import annotations
 
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable
 
