@@ -5,16 +5,41 @@ GCS (SURVEY.md §2 parallelism table; cloud_batch_submit.py fans out
 k(k+1)/2 independent GPU jobs).  The TPU-native design instead keeps the
 whole cohort on one pod slice: sample bit-plane panels are sharded over the
 mesh's sample axis, and a **ring exchange** (``lax.ppermute`` over ICI)
-rotates the j-panels so that after D steps every device has compared its
-resident i-panel against every panel.  Pair (i, j) with row-block a and
-col-block b is computed exactly once globally: on device a at ring step
-t = (a - b) mod D, filtered by the strict global ``i < j`` mask — the same
-upper-triangle contract as the reference kernel (cuking.cu:199).
+rotates the j-panels so every block pair of the global matrix is covered.
+
+Balanced triangular schedule
+----------------------------
+The KING result is symmetric under swapping the pair (kin's numerator,
+``min(het_i, het_j)``, and all IBS counters are i↔j symmetric —
+cuking.cu:286-307), so a block pair {a, b} may be computed in EITHER
+orientation and emitted as ``(min(i, j), max(i, j))``.  Rotating panels
+*backwards* (device d receives from d+1) puts block ``(d + t) mod D`` on
+device d at step t, so the schedule
+
+    step 0:            every device × its own block   (diagonal, tri-skip)
+    steps 1..ceil(D/2)-1: every device × block (d+t)  (distinct pairs)
+    step D/2 (D even): only devices d < D/2 compute   (the other half would
+                       duplicate pair {d, d+D/2}; they skip via lax.cond)
+
+covers each of the D(D+1)/2 block pairs exactly once in ``D//2 + 1`` steps
+(⌈(D+1)/2⌉ for odd D) — the ring analogue of the reference's exactly-once
+triangular Submatrix algebra (cuking.cu:129-179).  Per-device useful steps
+differ by at most one; wall-clock efficiency is (D+1)/(D+2) for even D
+(~90% at D=8, 99.6% at D=256) and 100% for odd D, versus ~50% for a naive
+D-step rotation with an i<j mask.  ``ring_schedule`` is the executable
+specification; ``_ring_fn`` mirrors it in traced form.
+
+The next rotation's ``ppermute`` is issued *before* the kernel consumes the
+current buffer (both only read it), so XLA's latency-hiding scheduler can
+overlap the ICI transfer with the MXU compute (SURVEY.md §7 hard part (e)).
 
 Thresholded hits are compacted into fixed per-device buffers (the SPMD
 analogue of the reference's atomic result buffer, cuking.cu:296-313) with a
-running cumulative-sum offset across ring steps; overflow is detected by
-comparing each device's total against capacity.
+running cumulative-sum offset across ring steps.  Per-device totals are
+exact even when a buffer overflows, so overflow is recoverable: the sweep is
+re-run once with capacity = the exact max count (see ``all_pairs_presharded``)
+unless the GLOBAL total exceeds ``max_results`` — the reference's only
+overflow semantic (cuking.cu:747-751).
 """
 
 from __future__ import annotations
@@ -36,13 +61,32 @@ from cuking_tpu.utils.status import ResourceExhaustedError
 AXIS = "samples"
 
 
+def ring_num_steps(num_devices: int) -> int:
+    """Scan length of the balanced schedule: ⌈(D+1)/2⌉, plus the half-active
+    wrap step for even D."""
+    return num_devices // 2 + 1 if num_devices % 2 == 0 else (num_devices + 1) // 2
+
+
+def ring_schedule(num_devices: int) -> list[tuple[int, int, int, bool]]:
+    """Executable specification of the schedule: (device, step, col_block,
+    active) for every (device, step).  Tests assert it covers each unordered
+    block pair exactly once with per-device active counts within ±1."""
+    d_ = num_devices
+    sched = []
+    for t in range(ring_num_steps(d_)):
+        for dev in range(d_):
+            sched.append(
+                (dev, t, (dev + t) % d_, 2 * t < d_ or (2 * t == d_ and 2 * dev < d_))
+            )
+    return sched
+
+
 def default_capacity_per_device(max_results: int, num_devices: int) -> int:
     """Per-device hit-buffer size for a given global ``max_results``: 2× the
-    even share (floored at 2¹⁴, capped at the global limit), so row-skewed
-    hits — families are usually adjacent in sample order and land in one
-    device's row block — don't overflow a device buffer while the GLOBAL
-    count (the reference's --max_results semantic, cuking.cu:747-751) is
-    still within budget."""
+    even share (floored at 2¹⁴, capped at the global limit).  Row-skewed hits
+    beyond this — families are usually adjacent in sample order and land in
+    one device's row block — don't fail the run: per-device totals are exact,
+    so the sweep auto-retries once at the exact required capacity."""
     return min(max_results, max(2 * (-(-max_results // num_devices)), 1 << 14))
 
 
@@ -55,7 +99,11 @@ class RingOutput(NamedTuple):
     ibs0: jnp.ndarray
     ibs1: jnp.ndarray
     ibs2: jnp.ndarray
-    counts: jnp.ndarray  # [D] int32 per-device totals (may exceed capacity)
+    counts: jnp.ndarray  # [D] int32 exact per-device totals (may exceed capacity)
+
+    @property
+    def capacity_per_device(self) -> int:
+        return self.i_idx.shape[0] // self.counts.shape[0]
 
 
 def _ring_fn(
@@ -70,40 +118,59 @@ def _ring_fn(
     nd = local_planes.shape[1]
     me = lax.axis_index(AXIS)
     gi = me * nd + jnp.arange(nd, dtype=jnp.int32)  # my global row indices
+    # Backwards rotation: device d receives from d+1, so after t hops device
+    # d holds the panel of block (d + t) mod D.
+    perm = [(d, (d - 1) % num_devices) for d in range(num_devices)]
 
     def body(carry, t):
         buf, out, running = carry
-        owner = (me - t) % num_devices
-        # t == 0 compares a device's own panel against itself — a diagonal
-        # block of the global matrix, eligible for the kernel's
-        # lower-triangle tile skip (king_pallas `tri`).
-        counts = kernel(local_planes, buf, (t == 0).astype(jnp.int32))
-        res = king_from_counts(counts)
-        gj = owner * nd + jnp.arange(nd, dtype=jnp.int32)
-        # Strict global upper triangle + padding validity + strict threshold.
-        mask = (
-            (gi[:, None] < gj[None, :])
-            & (gi[:, None] < num_samples)
-            & (gj[None, :] < num_samples)
-            & (res.kin > threshold)
-        )
-        flat = mask.ravel()
-        pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
-        pos = jnp.where(flat, pos, capacity)
+        # Issue the next rotation BEFORE consuming `buf`: the permute and the
+        # kernel both only read it, so the ICI transfer overlaps the compute.
+        nxt = lax.ppermute(buf, AXIS, perm=perm) if num_devices > 1 else buf
+        owner = (me + t) % num_devices
+        # ring_schedule's active predicate, traced: the wrap step (2t == D,
+        # even D only) would compute each pair {d, d+D/2} twice; the upper
+        # half of the devices skips the kernel entirely.
+        active = (2 * t < num_devices) | ((2 * t == num_devices) & (2 * me < num_devices))
 
-        gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
-        gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
-        fields = (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
-        out = tuple(
-            o.at[pos].set(f.ravel(), mode="drop") for o, f in zip(out, fields)
-        )
-        running = running + jnp.sum(flat, dtype=jnp.int32)
-        # Rotate j-panels one hop around the ring (ICI neighbor exchange).
-        buf = lax.ppermute(
-            buf, AXIS,
-            perm=[(d, (d + 1) % num_devices) for d in range(num_devices)],
-        )
-        return (buf, out, running), None
+        def compute(_):
+            # t == 0 compares a device's own panel against itself — a
+            # diagonal block, eligible for the kernel's lower-triangle tile
+            # skip (king_pallas `tri`).
+            counts = kernel(local_planes, buf, (t == 0).astype(jnp.int32))
+            res = king_from_counts(counts)
+            gj = owner * nd + jnp.arange(nd, dtype=jnp.int32)
+            # Off-diagonal steps cover disjoint blocks, so every (row, col)
+            # pair is a distinct unordered pair; only the diagonal step needs
+            # the strict i < j triangle mask (cuking.cu:199).  Validity masks
+            # padding rows; strict > threshold per cuking.cu:297.
+            mask = (
+                ((t > 0) | (gi[:, None] < gj[None, :]))
+                & (gi[:, None] < num_samples)
+                & (gj[None, :] < num_samples)
+                & (res.kin > threshold)
+            )
+            flat = mask.ravel()
+            pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
+            pos = jnp.where(flat, pos, capacity)
+
+            gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
+            gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
+            # Canonical orientation: KING is pair-symmetric, so a block pair
+            # computed with the higher block resident still emits (lo, hi).
+            io = jnp.minimum(gi2, gj2)
+            jo = jnp.maximum(gi2, gj2)
+            fields = (io, jo, res.kin, res.ibs0, res.ibs1, res.ibs2)
+            out2 = tuple(
+                o.at[pos].set(f.ravel(), mode="drop") for o, f in zip(out, fields)
+            )
+            return out2, running + jnp.sum(flat, dtype=jnp.int32)
+
+        def skip(_):
+            return out, running
+
+        out, running = lax.cond(active, compute, skip, None)
+        return (nxt, out, running), None
 
     out0 = (
         jnp.full((capacity,), -1, jnp.int32),
@@ -115,7 +182,7 @@ def _ring_fn(
     )
     (buf, out, running), _ = lax.scan(
         body, (local_planes, out0, jnp.int32(0)),
-        jnp.arange(num_devices, dtype=jnp.int32),
+        jnp.arange(ring_num_steps(num_devices), dtype=jnp.int32),
     )
     return RingOutput(
         i_idx=out[0], j_idx=out[1], kin=out[2], ibs0=out[3], ibs1=out[4],
@@ -132,6 +199,8 @@ def all_pairs_sharded(
     kin_threshold: float,
     capacity_per_device: int = 1 << 20,
     row_multiple: int = 1,
+    max_results: int | None = None,
+    auto_retry: bool = True,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
@@ -157,6 +226,7 @@ def all_pairs_sharded(
     return all_pairs_presharded(
         planes_sharded, num_samples, mesh, kernel,
         kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
+        max_results=max_results, auto_retry=auto_retry,
     )
 
 
@@ -168,6 +238,8 @@ def all_pairs_presharded(
     *,
     kin_threshold: float,
     capacity_per_device: int = 1 << 20,
+    max_results: int | None = None,
+    auto_retry: bool = True,
 ) -> RingOutput:
     """Ring sweep over an ALREADY sample-sharded global plane array.
 
@@ -175,93 +247,124 @@ def all_pairs_presharded(
     (cuking_tpu.parallel.distributed) instead of materializing the whole
     cohort's planes, then calls this.  Padding rows (global index ≥
     num_samples) must be all-ones (missing) — they self-mask.
+
+    Overflow recovery: per-device totals stay exact past capacity, so a
+    row-skewed run whose buffers overflow while the GLOBAL total is within
+    ``max_results`` (the reference's only bound, cuking.cu:747-751) is
+    re-run once at exactly the required capacity instead of failing.  The
+    retry is deterministic across hosts — every host sees the same
+    all-gathered counts.  Pass ``auto_retry=False`` to fail fast instead.
     """
     num_devices = mesh.devices.size
-    fn = jax.shard_map(
-        partial(
-            _ring_fn,
-            kernel=kernel,
-            num_devices=num_devices,
-            num_samples=num_samples,
-            capacity=capacity_per_device,
-        ),
-        mesh=mesh,
-        in_specs=(P(None, AXIS, None), P()),
-        out_specs=RingOutput(
-            i_idx=P(AXIS), j_idx=P(AXIS), kin=P(AXIS), ibs0=P(AXIS),
-            ibs1=P(AXIS), ibs2=P(AXIS), counts=P(AXIS),
-        ),
-        check_vma=False,
-    )
-    return jax.jit(fn)(planes_sharded, jnp.float32(kin_threshold))
+
+    def run(capacity: int) -> RingOutput:
+        fn = jax.shard_map(
+            partial(
+                _ring_fn,
+                kernel=kernel,
+                num_devices=num_devices,
+                num_samples=num_samples,
+                capacity=capacity,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, AXIS, None), P()),
+            out_specs=RingOutput(
+                i_idx=P(AXIS), j_idx=P(AXIS), kin=P(AXIS), ibs0=P(AXIS),
+                ibs1=P(AXIS), ibs2=P(AXIS), counts=P(AXIS),
+            ),
+            check_vma=False,
+        )
+        return jax.jit(fn)(planes_sharded, jnp.float32(kin_threshold))
+
+    out = run(capacity_per_device)
+    if auto_retry:
+        counts = ring_global_counts(out)
+        over = int(counts.max(initial=0))
+        if over > capacity_per_device and (
+            max_results is None or int(counts.sum()) <= max_results
+        ):
+            out = run(over)
+    return out
+
+
+def ring_global_counts(out: RingOutput) -> np.ndarray:
+    """The exact [D] per-device hit totals, on every host.
+
+    In a multi-host run ``out.counts`` is sharded (each host addresses only
+    its local devices' entries); the reference's ``--max_results`` bounds the
+    GLOBAL count (cuking.cu:747-751), so enforcement needs the all-gathered
+    vector."""
+    if out.counts.is_fully_addressable:
+        return np.asarray(out.counts)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(out.counts, tiled=True))
+
+
+def _check_overflow(
+    counts: np.ndarray, capacity_per_device: int, max_results: int | None
+) -> None:
+    if (counts > capacity_per_device).any():
+        raise ResourceExhaustedError(
+            "Could not store all results: a device's hit buffer overflowed "
+            f"(max {int(counts.max())} hits vs capacity {capacity_per_device}). "
+            "Hits are row-skewed beyond the auto-retry bound; increase "
+            "--max_results or pass a larger capacity_per_device."
+        )
+    if max_results is not None and counts.sum() > max_results:
+        # The reference's semantic: the GLOBAL count is bounded
+        # (cuking.cu:747-751).
+        raise ResourceExhaustedError(
+            "Could not store all results: try increasing the "
+            "--max_results parameter."
+        )
 
 
 def ring_output_local_resultset(
-    out: RingOutput, capacity_per_device: int, max_results: int | None = None
+    out: RingOutput, max_results: int | None = None
 ) -> ResultSet:
     """Multi-host variant: extracts only THIS process's device buffers.
 
     Each host materializes just its addressable shards and writes them as its
     own output partition — preserving the reference's share-nothing,
     trivially-mergeable output property (README.md:102) across a pod slice.
-    Overflow is checked per local device; remote devices are checked by their
-    own host (every host raises independently, fail-fast like cuking.cu:
-    747-751).
-    """
+    Overflow and the global ``max_results`` bound are checked against the
+    all-gathered counts, so every host raises in unison (fail-fast like
+    cuking.cu:747-751)."""
+    capacity = out.capacity_per_device
+    _check_overflow(ring_global_counts(out), capacity, max_results)
     local_counts = {
         s.index[0].start or 0: int(np.asarray(s.data)[0])
         for s in out.counts.addressable_shards
     }
-    if any(c > capacity_per_device for c in local_counts.values()):
-        raise ResourceExhaustedError(
-            "Could not store all results: try increasing the "
-            "--max_results parameter."
-        )
-    if max_results is not None and sum(local_counts.values()) > max_results:
-        raise ResourceExhaustedError(
-            "Could not store all results: try increasing the "
-            "--max_results parameter."
-        )
     buffers = {}
     for name in ("i_idx", "j_idx", "kin", "ibs0", "ibs1", "ibs2"):
         for s in getattr(out, name).addressable_shards:
             start = s.index[0].start or 0
-            buffers.setdefault(start // capacity_per_device, {})[name] = (
-                np.asarray(s.data)
-            )
+            buffers.setdefault(start // capacity, {})[name] = np.asarray(s.data)
     parts = []
     for d, count in sorted(local_counts.items()):
         if count == 0:
             continue
         bufs = buffers[d]
-        parts.append(
-            ResultSet(**{k: v[:count] for k, v in bufs.items()})
-        )
+        parts.append(ResultSet(**{k: v[:count] for k, v in bufs.items()}))
     return ResultSet.concat_and_sort(parts)
 
 
 def ring_output_to_resultset(
-    out: RingOutput, capacity_per_device: int, max_results: int | None = None
+    out: RingOutput, max_results: int | None = None
 ) -> ResultSet:
     """Host-side gather of per-device buffers → sorted ResultSet; raises on
-    overflow like cuking.cu:747-751.
-
-    Two overflow conditions: a device exceeding its physical buffer, and —
-    when ``max_results`` is given — the GLOBAL total exceeding it (the
-    reference's semantic, which bounds only the global count)."""
+    overflow like cuking.cu:747-751 (global ``max_results`` bound, plus the
+    physical per-device capacity if auto-retry was disabled)."""
+    capacity = out.capacity_per_device
     counts = np.asarray(out.counts)
-    if (counts > capacity_per_device).any() or (
-        max_results is not None and counts.sum() > max_results
-    ):
-        raise ResourceExhaustedError(
-            "Could not store all results: try increasing the "
-            "--max_results parameter."
-        )
+    _check_overflow(counts, capacity, max_results)
     parts = []
     for d, c in enumerate(counts):
         if c == 0:
             continue
-        lo = d * capacity_per_device
+        lo = d * capacity
         parts.append(
             ResultSet(
                 i_idx=np.asarray(out.i_idx[lo : lo + c]),

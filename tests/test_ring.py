@@ -1,5 +1,6 @@
 """Multi-chip ring sweep on a virtual 8-device CPU mesh (SURVEY.md §4c):
-sharded all-pairs results must equal the single-device oracle."""
+sharded all-pairs results must equal the single-device oracle, and the
+balanced schedule must cover each block pair exactly once."""
 
 import numpy as np
 import pytest
@@ -11,8 +12,10 @@ from cuking_tpu.ops.bitset import PlaneLayout, pack_genotypes
 from cuking_tpu.ops.king_mm import panel_counts_matmul
 from cuking_tpu.parallel.ring import (
     all_pairs_sharded,
+    ring_num_steps,
     ring_output_local_resultset,
     ring_output_to_resultset,
+    ring_schedule,
 )
 from cuking_tpu.utils.status import ResourceExhaustedError
 from cuking_tpu.utils.synthetic import random_genotypes
@@ -29,7 +32,51 @@ def kernel(pi, pj, tri=None):
     return panel_counts_matmul(pi, pj, tri, site_chunk_words=16)
 
 
-@pytest.mark.parametrize("num_devices", [2, 4, 8])
+# -- schedule algebra ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_devices", list(range(1, 17)))
+def test_ring_schedule_exactly_once_and_balanced(num_devices):
+    """The balanced schedule's active (device, step) entries cover every
+    unordered block pair exactly once — D(D+1)/2 kernel invocations, not D²
+    (the reference's exactly-once Submatrix property, cuking.cu:129-179) —
+    with per-device useful-step counts within ±1."""
+    sched = ring_schedule(num_devices)
+    covered = {}
+    per_device = {d: 0 for d in range(num_devices)}
+    for dev, step, col, active in sched:
+        assert col == (dev + step) % num_devices
+        if active:
+            per_device[dev] += 1
+            pair = (min(dev, col), max(dev, col))
+            assert pair not in covered, f"pair {pair} covered twice"
+            covered[pair] = (dev, step)
+    want = {
+        (a, b)
+        for a in range(num_devices)
+        for b in range(a, num_devices)
+    }
+    assert set(covered) == want
+    assert sum(per_device.values()) == num_devices * (num_devices + 1) // 2
+    assert max(per_device.values()) - min(per_device.values()) <= 1
+    # Wall-clock steps: ⌈(D+1)/2⌉ (+1 half-active wrap step for even D).
+    assert ring_num_steps(num_devices) == max(s for _, s, _, _ in sched) + 1
+    assert ring_num_steps(num_devices) <= num_devices // 2 + 1
+
+
+def test_ring_schedule_efficiency_bound():
+    """Useful fraction of scheduled device-steps must make the >=85% scaling
+    target reachable at production mesh sizes (VERDICT r1 missing #1)."""
+    for num_devices in (8, 16, 32, 64, 256):
+        useful = num_devices * (num_devices + 1) / 2
+        scheduled = num_devices * ring_num_steps(num_devices)
+        assert useful / scheduled >= 0.88, num_devices
+
+
+# -- end-to-end parity --------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_devices", [1, 2, 3, 4, 5, 8])
 @pytest.mark.parametrize("num_samples", [64, 70])  # divisible and ragged
 def test_ring_matches_oracle(num_devices, num_samples):
     g = random_genotypes(
@@ -43,14 +90,16 @@ def test_ring_matches_oracle(num_devices, num_samples):
         planes, num_samples, mesh, kernel,
         kin_threshold=0.05, capacity_per_device=4096,
     )
-    got = ring_output_to_resultset(out, 4096)
+    got = ring_output_to_resultset(out)
     exp = oracle_resultset(g, 0.05)
     assert len(exp) > 0
     assert_resultsets_equal(got, exp)
 
 
 def test_ring_keep_all_pairs_exactly_once():
-    """threshold=-2 keeps every finite-kin pair; each exactly once."""
+    """threshold=-2 keeps every finite-kin pair; each exactly once.  With the
+    balanced schedule this is also the runtime double-coverage check: a wrap
+    step computed by both devices of a pair would emit duplicates."""
     g = random_genotypes(40, 300, missing_rate=0.05, seed=33)
     layout = PlaneLayout.create(300, words_multiple=16)
     planes = pack_genotypes(g, layout)
@@ -59,7 +108,7 @@ def test_ring_keep_all_pairs_exactly_once():
         planes, 40, mesh, kernel, kin_threshold=-2.0,
         capacity_per_device=4096,
     )
-    got = ring_output_to_resultset(out, 4096)
+    got = ring_output_to_resultset(out)
     exp = oracle_resultset(g, -2.0)
     assert_resultsets_equal(got, exp)
     pairs = set(zip(got.i_idx.tolist(), got.j_idx.tolist()))
@@ -76,22 +125,10 @@ def test_ring_local_resultset_matches_global():
     out = all_pairs_sharded(
         planes, 50, mesh, kernel, kin_threshold=0.05, capacity_per_device=4096,
     )
-    local = ring_output_local_resultset(out, 4096)
-    full = ring_output_to_resultset(out, 4096)
+    local = ring_output_local_resultset(out)
+    full = ring_output_to_resultset(out)
     assert len(full) > 0
     assert_resultsets_equal(local, full)
-
-
-def test_ring_local_resultset_overflow():
-    g = random_genotypes(32, 200, missing_rate=0.0, seed=36)
-    layout = PlaneLayout.create(200, words_multiple=16)
-    planes = pack_genotypes(g, layout)
-    mesh = make_mesh(4)
-    out = all_pairs_sharded(
-        planes, 32, mesh, kernel, kin_threshold=-2.0, capacity_per_device=8,
-    )
-    with pytest.raises(ResourceExhaustedError, match="max_results"):
-        ring_output_local_resultset(out, 8)
 
 
 def test_ring_with_pallas_interpret_kernel():
@@ -114,19 +151,83 @@ def test_ring_with_pallas_interpret_kernel():
         planes, 32, mesh, pallas_kernel,
         kin_threshold=0.05, capacity_per_device=4096, row_multiple=8,
     )
-    got = ring_output_to_resultset(out, 4096)
+    got = ring_output_to_resultset(out)
     exp = oracle_resultset(g, 0.05)
     assert len(exp) > 0
     assert_resultsets_equal(got, exp)
 
 
-def test_ring_overflow_detection():
+# -- overflow semantics -------------------------------------------------------
+
+
+def test_ring_overflow_auto_retry_succeeds():
+    """A device buffer overflow with the GLOBAL total within max_results is
+    recoverable (the reference bounds only the global count,
+    cuking.cu:747-751): the sweep auto-retries at exact capacity and the
+    results still match the oracle exactly."""
     g = random_genotypes(32, 200, missing_rate=0.0, seed=34)
     layout = PlaneLayout.create(200, words_multiple=16)
     planes = pack_genotypes(g, layout)
     mesh = make_mesh(4)
     out = all_pairs_sharded(
         planes, 32, mesh, kernel, kin_threshold=-2.0, capacity_per_device=8,
+        max_results=1 << 20,
+    )
+    got = ring_output_to_resultset(out, 1 << 20)
+    exp = oracle_resultset(g, -2.0)
+    assert len(exp) > 8  # the original capacity genuinely overflowed
+    assert_resultsets_equal(got, exp)
+
+
+def test_ring_skewed_hits_auto_retry():
+    """One dense family cluster inside a single device's row block (the
+    VERDICT r1 weak #3 scenario): the skewed device overflows its 2x-share
+    buffer, the retry lifts exactly that device's capacity, and the run
+    succeeds instead of raising."""
+    rng = np.random.default_rng(41)
+    g = rng.integers(0, 3, (64, 400), dtype=np.int8)
+    g[:16] = g[0]  # first device's block: one identical 16-sample family
+    layout = PlaneLayout.create(400, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 64, mesh, kernel, kin_threshold=0.2, capacity_per_device=16,
+        max_results=1 << 20,
+    )
+    got = ring_output_to_resultset(out, 1 << 20)
+    exp = oracle_resultset(g, 0.2)
+    assert len(exp) >= 16 * 15 / 2  # the family alone exceeds capacity 16
+    assert_resultsets_equal(got, exp)
+
+
+def test_ring_overflow_detection_no_retry():
+    """auto_retry=False preserves the fail-fast behavior."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=34)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 32, mesh, kernel, kin_threshold=-2.0, capacity_per_device=8,
+        auto_retry=False,
+    )
+    with pytest.raises(ResourceExhaustedError, match="capacity"):
+        ring_output_to_resultset(out)
+    with pytest.raises(ResourceExhaustedError, match="capacity"):
+        ring_output_local_resultset(out)
+
+
+def test_ring_global_max_results_enforced():
+    """The global total exceeding --max_results is an error even when every
+    per-device buffer fits (reference semantics, cuking.cu:747-751)."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=36)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 32, mesh, kernel, kin_threshold=-2.0,
+        capacity_per_device=4096, max_results=10,
     )
     with pytest.raises(ResourceExhaustedError, match="max_results"):
-        ring_output_to_resultset(out, 8)
+        ring_output_to_resultset(out, 10)
+    with pytest.raises(ResourceExhaustedError, match="max_results"):
+        ring_output_local_resultset(out, 10)

@@ -39,7 +39,7 @@ def main() -> int:
         ),
         kin_threshold=0.0884, capacity_per_device=65536, row_multiple=256,
     )
-    rs = ring_output_to_resultset(out, 65536)
+    rs = ring_output_to_resultset(out)
 
     kin, ibs0, ibs1, ibs2 = oracle_king(g, g)
     iu, ju = np.triu_indices(n, k=1)
