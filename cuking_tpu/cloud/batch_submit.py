@@ -29,6 +29,7 @@ import uuid
 from cuking_tpu.parallel.submatrix import num_shards
 
 POLL_INTERVAL_S = 300  # cloud_batch_submit.py:127
+MAX_RUN_DURATION_S = 36000  # per-task budget (cloud_batch_submit.py:53)
 
 
 def render_batch_job(
@@ -152,13 +153,18 @@ def wait_for_completion(
     write_sentinel=None,
     poll_interval_s: int = POLL_INTERVAL_S,
     log=print,
+    max_polls: int | None = None,
 ) -> str:
     """Polls job state every 5 minutes (cloud_batch_submit.py:103-130).
 
     On ``SUCCEEDED`` writes an empty ``_SUCCESS`` sentinel object into the
     output directory (the merge-ready signal downstream pipelines gate on)
-    and returns the final state.  On ``FAILED`` returns without the
-    sentinel.
+    and returns the final state.  Any other non-active state (FAILED,
+    CANCELLED, DELETION_IN_PROGRESS, ...) returns without the sentinel — the
+    reference script only knows SUCCEEDED/FAILED, but library callers must
+    not poll a cancelled job forever.  ``max_polls`` (default: the job's own
+    36,000 s maxRunDuration budget plus slack) bounds an unattended caller
+    even if the control plane keeps reporting an active state.
     """
     if write_sentinel is None:
 
@@ -168,7 +174,10 @@ def wait_for_completion(
             with Storage().open_write(uri) as f:
                 f.write(b"")
 
-    while True:
+    active_states = {"", "STATE_UNSPECIFIED", "QUEUED", "SCHEDULED", "RUNNING"}
+    if max_polls is None:
+        max_polls = (MAX_RUN_DURATION_S + 3600) // max(poll_interval_s, 1)
+    for _ in range(max_polls):
         described = runner(
             [
                 "gcloud", "batch", "jobs", "describe", job_name,
@@ -180,9 +189,12 @@ def wait_for_completion(
         if state == "SUCCEEDED":
             write_sentinel(f"{output_uri}/_SUCCESS")
             return state
-        if state == "FAILED":
+        if state not in active_states:
             return state
         sleep(poll_interval_s)
+    raise TimeoutError(
+        f"Job {job_name} still not terminal after {max_polls} polls"
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:

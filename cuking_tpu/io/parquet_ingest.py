@@ -161,3 +161,5 @@ def ingest_parquet(
                 errors.append(e)
     if errors:
         raise errors[0]
+    # Invalidate any device-side cache of the planes (KingEngine.planes_dev).
+    panel_storage.mark_mutated()

@@ -132,6 +132,9 @@ class PanelStorage:
         self.layout = layout
         self.submatrix = submatrix
         self.panel = panel
+        # Bumped by mutators (ingest); lets device-side caches detect stale
+        # uploads instead of silently computing on pre-ingest planes.
+        self.version = 0
         self.nr = submatrix.num_rows
         self.nc = submatrix.num_cols
         self.nr_pad = max(_ceil_div(self.nr, panel), 1) * panel
@@ -144,6 +147,11 @@ class PanelStorage:
             self.j_store_base = self.nr_pad
             total = self.nr_pad + self.nc_pad
         self.planes = bitset.allocate_planes(total, layout)
+
+    def mark_mutated(self) -> None:
+        """Callers that write into ``planes`` (ingest) record it here so the
+        engine re-uploads instead of sweeping a stale device copy."""
+        self.version += 1
 
     def contains(self, global_idx: np.ndarray) -> np.ndarray:
         """True for samples stored in this shard (cuking.cu:675-678); the
@@ -205,14 +213,20 @@ class KingEngine:
         self._kernel = _resolve_kernel(self.config)
         self._sweep = self._build_sweep()
         self._planes_dev_cache = None
+        self._planes_dev_version = None
 
     @property
     def planes_dev(self) -> jnp.ndarray:
-        """Device-resident planes; uploaded once (host→device transfers of
-        the full bitset are expensive and the planes are immutable during a
-        sweep).  Call refresh_planes() if storage.planes was mutated."""
-        if self._planes_dev_cache is None:
+        """Device-resident planes; uploaded once per storage version
+        (host→device transfers of the full bitset are expensive and the
+        planes are immutable during a sweep).  Mutators that go through
+        ``storage.mark_mutated()`` — ingest does — invalidate the cache
+        automatically; direct writes to ``storage.planes`` need an explicit
+        ``refresh_planes()``."""
+        version = getattr(self.storage, "version", None)
+        if self._planes_dev_cache is None or self._planes_dev_version != version:
             self._planes_dev_cache = jnp.asarray(self.storage.planes)
+            self._planes_dev_version = version
         return self._planes_dev_cache
 
     def refresh_planes(self) -> None:
@@ -395,6 +409,16 @@ class KingEngine:
             if count == 0:
                 return
             total += count
+            if total > cfg.max_results:
+                # Enforced as soon as the running total crosses the cap —
+                # the sweep stops dispatching and host accumulation stays
+                # bounded, rather than buffering every hit first (the
+                # reference's preallocated buffer caps memory by
+                # construction, cuking.cu:713-718, 747-751).
+                raise ResourceExhaustedError(
+                    "Could not store all results: try increasing the "
+                    "--max_results parameter."
+                )
             per_step = np.asarray(totals)
             for k in np.nonzero(per_step)[0]:
                 c = int(per_step[k])
@@ -428,11 +452,5 @@ class KingEngine:
             consume(pending.popleft())
         self.logger.end("king_kernel")
 
-        if total > cfg.max_results:
-            # Same failure contract as cuking.cu:747-751.
-            raise ResourceExhaustedError(
-                "Could not store all results: try increasing the "
-                "--max_results parameter."
-            )
         self.logger.print(f"Processing {total} results...")
         return ResultSet.concat_and_sort(parts)

@@ -148,6 +148,14 @@ def panel_counts_pallas(
     are then left unwritten — callers MUST mask with the strict global
     ``i < j`` predicate (they already must, per cuking.cu:199).
     """
+    if unpack == "u8" and not interpret:
+        # The deployed Mosaic can't legalize i8 vector shift/compare ops;
+        # fail clearly instead of with an obscure lowering error.
+        raise NotImplementedError(
+            "unpack='u8' only runs in interpret mode on the current Mosaic "
+            "toolchain (i8 vector compare ops don't legalize); use the "
+            "default unpack='u32' for compiled TPU execution."
+        )
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
     ti, tj = min(tile_i, ni), min(tile_j, nj)

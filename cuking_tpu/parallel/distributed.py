@@ -66,6 +66,10 @@ class HostShardedStorage:
         self.planes = bitset.allocate_planes(
             self.nd * len(self.local_blocks), layout
         )
+        self.version = 0
+
+    def mark_mutated(self) -> None:
+        self.version += 1
 
     # -- the ingest-facing surface (duck-typed like PanelStorage) ----------
 

@@ -102,6 +102,44 @@ def test_wait_for_completion_failed_means_no_sentinel():
     assert sentinels == []
 
 
+def test_wait_for_completion_other_terminal_states_end_polling():
+    """CANCELLED / DELETION_IN_PROGRESS must not poll forever (the reference
+    script only knows SUCCEEDED/FAILED; library callers need all terminal
+    states handled)."""
+    for terminal in ("CANCELLED", "DELETION_IN_PROGRESS", "CANCELLATION_IN_PROGRESS"):
+        sentinels = []
+        state = wait_for_completion(
+            "cuking-x",
+            location="us-central1",
+            output_uri="gs://b/out",
+            runner=lambda cmd: json.dumps({"status": {"state": terminal}}),
+            sleep=lambda s: pytest.fail("should not sleep after terminal state"),
+            write_sentinel=sentinels.append,
+            log=lambda *_: None,
+        )
+        assert state == terminal
+        assert sentinels == []
+
+
+def test_wait_for_completion_poll_deadline():
+    """A job stuck in an active state stops being polled after max_polls."""
+    polls = []
+    with pytest.raises(TimeoutError, match="not terminal"):
+        wait_for_completion(
+            "cuking-x",
+            location="us-central1",
+            output_uri="gs://b/out",
+            runner=lambda cmd: (
+                polls.append(1), json.dumps({"status": {"state": "RUNNING"}})
+            )[1],
+            sleep=lambda s: None,
+            write_sentinel=lambda uri: None,
+            log=lambda *_: None,
+            max_polls=7,
+        )
+    assert len(polls) == 7
+
+
 def test_batch_submit_render_only_cli(capsys):
     from cuking_tpu.cloud import batch_submit
 

@@ -78,7 +78,7 @@ def test_host_sharded_ingest_matches_replicated(tmp_path):
         global_arr, 43, mesh, kernel, kin_threshold=0.05,
         capacity_per_device=4096,
     )
-    got_rs = ring_output_to_resultset(out, 4096)
+    got_rs = ring_output_to_resultset(out)
     exp = oracle_resultset(g, 0.05)
     assert len(exp) > 0
     assert_resultsets_equal(got_rs, exp)
@@ -97,7 +97,7 @@ def test_host_sharded_row_multiple_padding():
         st.to_global_array(), 19, mesh, kernel, kin_threshold=0.05,
         capacity_per_device=1024,
     )
-    got = ring_output_to_resultset(out, 1024)
+    got = ring_output_to_resultset(out)
     exp = oracle_resultset(g, 0.05)
     assert len(exp) > 0
     assert_resultsets_equal(got, exp)
@@ -111,7 +111,7 @@ def test_presharded_equals_sharded_entry():
     out1 = all_pairs_sharded(
         planes, 50, mesh, kernel, kin_threshold=0.05, capacity_per_device=1024,
     )
-    rs1 = ring_output_to_resultset(out1, 1024)
+    rs1 = ring_output_to_resultset(out1)
 
     st = HostShardedStorage(layout, 50, mesh)
     stored = np.arange(50)
@@ -120,8 +120,43 @@ def test_presharded_equals_sharded_entry():
         st.to_global_array(), 50, mesh, kernel, kin_threshold=0.05,
         capacity_per_device=1024,
     )
-    rs2 = ring_output_to_resultset(out2, 1024)
+    rs2 = ring_output_to_resultset(out2)
     assert_resultsets_equal(rs1, rs2)
+
+
+def test_cli_distributed_refuses_degraded_multihost(tmp_path, monkeypatch, capsys):
+    """ADVICE r1 (medium): when the environment says multi-host slice (TPU
+    topology env markers, not just explicit coordinator vars) and
+    jax.distributed.initialize() fails, degrading to a single-process mesh
+    would compute a partial device set per host and race on part-00000 —
+    refuse unless --allow_single_process."""
+    from cuking_tpu import cli
+
+    def boom():
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "worker-0,worker-1")
+
+    g = random_genotypes(24, 200, missing_rate=0.1, seed=45, num_related_pairs=2)
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    write_synthetic_input(storage, input_uri, g)
+    argv = [
+        "--input_uri", input_uri,
+        "--output_uri", str(tmp_path / "out.parquet"),
+        "--kernel", "matmul", "--kin_threshold", "0.05",
+        "--distributed", "--quiet",
+    ]
+    assert cli.main(argv) == 1
+    assert "TPU_WORKER_HOSTNAMES" in capsys.readouterr().err
+
+    # Explicit override: proceed single-process.
+    assert cli.main(argv + ["--allow_single_process"]) == 0
+    # Plain local environment (no topology markers): fallback stays implicit.
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    assert cli.main(argv) == 0
 
 
 def test_cli_distributed_single_process(tmp_path):

@@ -93,6 +93,61 @@ def test_max_results_overflow_raises():
         KingEngine.from_genotypes(g, cfg).run()
 
 
+def test_max_results_aborts_sweep_early():
+    """VERDICT r1 weak #4: the cap is enforced the moment the running total
+    crosses it — the sweep must stop dispatching batches, not buffer every
+    hit in host RAM and raise at the end."""
+    g = random_genotypes(256, 200, missing_rate=0.0, seed=3)
+    cfg = KingConfig(kin_threshold=-2.0, max_results=5, panel=16,
+                     kernel="matmul", site_chunk_words=16, sweep_batch=4)
+    engine = KingEngine.from_genotypes(g, cfg)
+    num_steps = len(engine._panel_pair_params())
+    total_batches = -(-num_steps // cfg.sweep_batch)
+    assert total_batches > 8  # enough batches for "early" to be observable
+
+    sweep, exact_step, cap_step = engine._sweep
+    dispatched = {"n": 0}
+
+    def counting_sweep(*a, **kw):
+        dispatched["n"] += 1
+        return sweep(*a, **kw)
+
+    engine._sweep = (counting_sweep, exact_step, cap_step)
+    with pytest.raises(ResourceExhaustedError, match="max_results"):
+        engine.run()
+    # Every pair hits at threshold -2, so the first consumed batch overflows;
+    # only the in-flight window (4) plus the batch being consumed may have
+    # been dispatched.
+    assert dispatched["n"] <= 5, dispatched["n"]
+
+
+def test_planes_dev_refreshes_after_ingest_mutation():
+    """VERDICT r1 weak #2: ingest after engine construction must invalidate
+    the cached device planes (storage.mark_mutated), not sweep stale data."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=11, num_related_pairs=2)
+    cfg = KingConfig(kin_threshold=0.05, panel=16, kernel="matmul",
+                     site_chunk_words=16)
+    engine = KingEngine.from_genotypes(g, cfg)
+    _ = engine.planes_dev  # populate the device cache
+    before = engine.run()
+
+    # Mutate storage the way ingest does: in place + mark_mutated().
+    from cuking_tpu.ops import bitset as bitset_mod
+
+    g2 = random_genotypes(32, 200, missing_rate=0.0, seed=12, num_related_pairs=5)
+    engine.storage.planes[:, :32, :] = bitset_mod.pack_genotypes(
+        g2, engine.storage.layout
+    )
+    engine.storage.mark_mutated()
+    after = engine.run()
+    assert_resultsets_equal(after, oracle_resultset(g2, 0.05))
+    exp_before = oracle_resultset(g, 0.05)
+    # Sanity: the two cohorts genuinely differ.
+    assert len(exp_before) != len(after) or not np.array_equal(
+        before.kin, after.kin
+    )
+
+
 def test_no_self_pairs_and_strict_triangle():
     g = random_genotypes(30, 200, missing_rate=0.0, seed=9)
     cfg = KingConfig(kin_threshold=-2.0, panel=8, kernel="matmul",
