@@ -1,11 +1,12 @@
-"""Storage abstraction: local paths and gs:// URIs through one interface.
+"""Storage abstraction: local paths and URI schemes through one interface.
 
 The reference talks to GCS directly via the google-cloud-cpp client with a
 connection pool sized to the reader thread count and requester-pays support
-(cuking.cu:340-353, 470-477, 554-555).  Here, local filesystem access is
-native and ``gs://`` goes through fsspec/gcsfs when installed (same Arrow
-C++ decode path either way); requester-pays maps to gcsfs'
-``requester_pays``/``project`` options.
+(cuking.cu:340-353, 470-477, 554-555).  Here, plain local paths use native
+filesystem calls, and any ``scheme://`` URI routes through the matching
+fsspec filesystem — ``gs://`` via gcsfs (requester-pays maps to gcsfs'
+``requester_pays``/``project`` options), ``memory://`` in tests, etc.  The
+Arrow C++ decode path is the same either way.
 """
 
 from __future__ import annotations
@@ -15,6 +16,12 @@ import posixpath
 from dataclasses import dataclass, field
 
 from cuking_tpu.utils.status import FailedPreconditionError, InvalidArgumentError
+
+
+def uri_scheme(uri: str) -> str | None:
+    """'gs://b/p' → 'gs'; plain local paths → None."""
+    head, sep, _ = uri.partition("://")
+    return head if sep else None
 
 
 def is_gcs_uri(uri: str) -> bool:
@@ -38,32 +45,43 @@ class Storage:
     """Thin filesystem wrapper; one instance per run."""
 
     requester_pays_project: str = ""
-    _gcs_fs: object = field(default=None, repr=False)
+    _fs_cache: dict = field(default_factory=dict, repr=False)
 
     def _fs_for(self, uri: str):
-        if not is_gcs_uri(uri):
-            return None
-        if self._gcs_fs is None:
+        """(fsspec filesystem, in-filesystem path) for a URI; (None, uri)
+        for plain local paths."""
+        scheme = uri_scheme(uri)
+        if scheme is None:
+            return None, uri
+        if scheme == "gs":
+            # Same validation as the reference's SplitGcsUri: a bare bucket
+            # with no object path is an error (cuking.cu:346-350).
+            split_gcs_uri(uri)
+        if scheme not in self._fs_cache:
             try:
-                import gcsfs  # noqa: F401
                 import fsspec
-            except ImportError as e:
+
+                opts = {}
+                if scheme == "gs" and self.requester_pays_project:
+                    # gcsfs' requester-pays knobs, mirroring the reference's
+                    # UserProject option (cuking.cu:472-477).
+                    opts["requester_pays"] = True
+                    opts["project"] = self.requester_pays_project
+                self._fs_cache[scheme] = fsspec.filesystem(scheme, **opts)
+            except (ImportError, ValueError) as e:
+                # gcsfs missing -> ImportError; unknown protocol -> ValueError.
                 raise FailedPreconditionError(
-                    f"gs:// URIs require gcsfs, which is not installed: {e}"
+                    f"{scheme}:// URIs require an fsspec backend that is not "
+                    f"installed: {e}"
                 )
-            opts = {}
-            if self.requester_pays_project:
-                opts["requester_pays"] = True
-                opts["project"] = self.requester_pays_project
-            self._gcs_fs = fsspec.filesystem("gs", **opts)
-        return self._gcs_fs
+        return self._fs_cache[scheme], uri.split("://", 1)[1]
 
     def list_parquet_files(self, input_uri: str) -> list[str]:
         """Non-recursive listing of ``*.parquet`` directly under the input
         directory — skipping subdirectories mirrors the reference's
         ``Delimiter("/")`` listing that avoids Spark ``_temporary`` dirs
         (cuking.cu:530-540)."""
-        fs = self._fs_for(input_uri)
+        fs, path = self._fs_for(input_uri)
         if fs is None:
             if not os.path.isdir(input_uri):
                 raise FailedPreconditionError(
@@ -76,38 +94,34 @@ class Storage:
                 if n.endswith(".parquet")
                 and os.path.isfile(os.path.join(input_uri, n))
             ]
-        bucket, path = split_gcs_uri(input_uri)
-        entries = fs.ls(f"{bucket}/{path}", detail=True)
+        entries = fs.ls(path, detail=True)
         return sorted(
-            "gs://" + e["name"]
+            fs.unstrip_protocol(e["name"])
             for e in entries
             if e.get("type") == "file" and e["name"].endswith(".parquet")
         )
 
     def open_read(self, uri: str):
-        fs = self._fs_for(uri)
+        fs, path = self._fs_for(uri)
         if fs is None:
             return open(uri, "rb")
-        bucket, path = split_gcs_uri(uri)
-        return fs.open(f"{bucket}/{path}", "rb")
+        return fs.open(path, "rb")
 
     def open_write(self, uri: str):
-        fs = self._fs_for(uri)
+        fs, path = self._fs_for(uri)
         if fs is None:
             os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
             return open(uri, "wb")
-        bucket, path = split_gcs_uri(uri)
-        return fs.open(f"{bucket}/{path}", "wb")
+        return fs.open(path, "wb")
 
     def exists(self, uri: str) -> bool:
-        fs = self._fs_for(uri)
+        fs, path = self._fs_for(uri)
         if fs is None:
             return os.path.exists(uri)
-        bucket, path = split_gcs_uri(uri)
-        return fs.exists(f"{bucket}/{path}")
+        return fs.exists(path)
 
     def join(self, base: str, *parts: str) -> str:
-        if is_gcs_uri(base):
+        if uri_scheme(base) is not None:
             return posixpath.join(base, *parts)
         return os.path.join(base, *parts)
 

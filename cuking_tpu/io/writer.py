@@ -72,12 +72,8 @@ def write_results(
 def read_results_table(storage: Storage, output_uri: str) -> pa.Table:
     """Reads all ``part-*.snappy.parquet`` partitions back into one table —
     the non-Hail twin of cuking_outputs_to_ht.py for local verification."""
-    files = [
-        f
-        for f in storage.list_parquet_files(output_uri)
-    ]
     tables = []
-    for f in files:
+    for f in storage.list_parquet_files(output_uri):
         with storage.open_read(f) as fh:
             tables.append(pq.read_table(fh))
     if not tables:
