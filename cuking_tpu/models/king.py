@@ -98,6 +98,23 @@ class ResultSet:
         return cls(**{k: v[order] for k, v in fields.items()})
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _gather_hits(bufs, rows, n):
+    """Gathers hit-step buffers [6][batch, cap] at ``rows`` into one stacked
+    [6, len(rows), n] int32 array (kin bitcast) so the host pays a single
+    device→host transfer per batch instead of six per hit step."""
+    return jnp.stack(
+        [
+            bufs[0][rows, :n],
+            bufs[1][rows, :n],
+            lax.bitcast_convert_type(bufs[2][rows, :n], jnp.int32),
+            bufs[3][rows, :n],
+            bufs[4][rows, :n],
+            bufs[5][rows, :n],
+        ]
+    )
+
+
 def resolve_kernel_name(config: KingConfig) -> str:
     """'auto' → the fast path for the current backend."""
     if config.kernel == "auto":
@@ -387,19 +404,16 @@ class KingEngine:
             f" ({num_steps} panel-pair steps)..."
         )
 
-        def fetch(bufs, count, row=None):
+        def fetch(bufs, count):
+            """Single-buffer fetch (exact-fallback path only)."""
             n = min(_ceil_pow2(count), bufs[0].shape[-1])
-            sel = (
-                (lambda b: b[:n][:count]) if row is None
-                else (lambda b: b[row, :n][:count])
-            )
             return ResultSet(
-                i_idx=np.asarray(sel(bufs[0])),
-                j_idx=np.asarray(sel(bufs[1])),
-                kin=np.asarray(sel(bufs[2])),
-                ibs0=np.asarray(sel(bufs[3])),
-                ibs1=np.asarray(sel(bufs[4])),
-                ibs2=np.asarray(sel(bufs[5])),
+                i_idx=np.asarray(bufs[0][:n][:count]),
+                j_idx=np.asarray(bufs[1][:n][:count]),
+                kin=np.asarray(bufs[2][:n][:count]),
+                ibs0=np.asarray(bufs[3][:n][:count]),
+                ibs1=np.asarray(bufs[4][:n][:count]),
+                ibs2=np.asarray(bufs[5][:n][:count]),
             )
 
         def consume(entry) -> None:
@@ -420,15 +434,45 @@ class KingEngine:
                     "--max_results parameter."
                 )
             per_step = np.asarray(totals)
-            for k in np.nonzero(per_step)[0]:
+            hit_rows = np.nonzero(per_step)[0]
+            fast = hit_rows[per_step[hit_rows] <= cap_step]
+            if len(fast):
+                # One device gather + ONE host transfer for every hit step in
+                # the batch: six per-field fetches per step would cost a
+                # host↔device round-trip each (~25 ms through a TPU runtime —
+                # they dominated hit-bearing sweeps before this batching).
+                # The copy is started asynchronously and materialized after
+                # the sweep loop, so it overlaps later batches' compute.
+                n = min(_ceil_pow2(int(per_step[fast].max())), cap_step)
+                k_pad = _ceil_pow2(len(fast))
+                rows = np.full(k_pad, fast[0], np.int32)
+                rows[: len(fast)] = fast
+                arr_dev = _gather_hits(bufs, jnp.asarray(rows), n)
+                try:
+                    arr_dev.copy_to_host_async()
+                except Exception:
+                    pass
+                deferred.append((arr_dev, fast, per_step))
+            for k in hit_rows[per_step[hit_rows] > cap_step]:
+                # Rare: this step alone exceeded the fast-path buffer —
+                # recompute it at full panel² capacity (exact).
+                full = exact_step(planes_dev, chunk_dev[int(k)], threshold)
+                parts.append(fetch(full, int(per_step[k])))
+
+        def materialize(arr_dev, fast, per_step) -> None:
+            arr = np.asarray(arr_dev)
+            for idx, k in enumerate(fast):
                 c = int(per_step[k])
-                if c <= cap_step:
-                    parts.append(fetch(bufs, c, row=int(k)))
-                else:
-                    # Rare: this step alone exceeded the fast-path buffer —
-                    # recompute it at full panel² capacity (exact).
-                    full = exact_step(planes_dev, chunk_dev[int(k)], threshold)
-                    parts.append(fetch(full, c))
+                parts.append(
+                    ResultSet(
+                        i_idx=arr[0, idx, :c],
+                        j_idx=arr[1, idx, :c],
+                        kin=arr[2, idx, :c].view(np.float32),
+                        ibs0=arr[3, idx, :c],
+                        ibs1=arr[4, idx, :c],
+                        ibs2=arr[5, idx, :c],
+                    )
+                )
 
         # Dispatch batches asynchronously so host↔device round-trips don't
         # serialize the device work, but bound the in-flight window: each
@@ -438,6 +482,7 @@ class KingEngine:
         # the planes.
         window = 4
         pending: deque = deque()
+        deferred: list = []
         for lo in range(0, num_steps, batch):
             chunk = params[lo : lo + batch]
             if len(chunk) < batch:
@@ -450,6 +495,8 @@ class KingEngine:
                 consume(pending.popleft())
         while pending:
             consume(pending.popleft())
+        for entry in deferred:
+            materialize(*entry)
         self.logger.end("king_kernel")
 
         self.logger.print(f"Processing {total} results...")

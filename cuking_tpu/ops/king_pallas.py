@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuking_tpu.ops.king_math import KingCounts
+from cuking_tpu.utils.status import InvalidArgumentError
 
 # Tile defaults, tuned on v5e (tools/tune_pallas.py): with a 128-word site
 # chunk, X tiles are [3·256, 32·128] int8 = 3 MiB each, Gram scratch
@@ -39,6 +40,16 @@ from cuking_tpu.ops.king_math import KingCounts
 # unpacked byte.
 TILE_I = 256
 TILE_J = 256
+
+
+def _select_chunk(w: int, bound: int, interpret: bool) -> int | None:
+    """Largest site-chunk (in uint32 words) ≤ bound that divides W and — on
+    the compiled TPU path — satisfies Mosaic's lane rule (the trailing block
+    dim must be a 128-multiple, or the full axis)."""
+    for c in range(min(bound, w), 0, -1):
+        if w % c == 0 and (interpret or c % 128 == 0 or c == w):
+            return c
+    return None
 
 
 def _unpack3(
@@ -165,12 +176,18 @@ def panel_counts_pallas(
     # int32 Gram scratch and double-buffered input blocks must stay inside
     # ~16 MiB, and W's multiple depends on the caller's layout choice, so
     # neither constraint is an assertion (a bad combination must not fail at
-    # Mosaic compile time with a scoped-vmem OOM).
+    # Mosaic compile time with a scoped-vmem OOM).  On the compiled TPU path
+    # Mosaic additionally requires the trailing block dim to be a multiple of
+    # 128 lanes (or the whole axis).
     budget = 10 << 20
     per_wc = 3 * 32 * (ti + tj)  # unpacked bytes per word-column
-    wc = min(site_chunk_words, w, max(1, budget // per_wc))
-    if w % wc:
-        wc = next(c for c in range(wc, 0, -1) if w % c == 0)
+    bound = min(site_chunk_words, w, max(1, budget // per_wc))
+    wc = _select_chunk(w, bound, interpret)
+    if wc is None:
+        raise InvalidArgumentError(
+            f"tile_i={ti}/tile_j={tj} leave no Mosaic-legal site chunk "
+            f"within the VMEM budget for W={w}; use smaller tiles."
+        )
     grid = (ni // ti, nj // tj, w // wc)
     if tri is None:
         tri = jnp.zeros((1,), jnp.int32)

@@ -33,10 +33,14 @@ def main():
 
     configs = [
         # (words_multiple, site_chunk_words, tile, unpack)
-        (128, 128, 256, "u32"),
+        (128, 128, 256, "u32"),   # the deployed default
+        (128, 64, 256, "u32"),
+        (128, 256, 256, "u32"),
+        (128, 128, 128, "u32"),
+        (128, 128, 512, "u32"),
+        # u8 probes whether the Mosaic toolchain learned i8 vector compares
+        # (panel_counts_pallas rejects it on compiled TPU until then).
         (128, 128, 256, "u8"),
-        (128, 128, 128, "u8"),
-        (128, 256, 256, "u8"),
     ]
     print(f"backend={jax.default_backend()}", file=sys.stderr)
 
