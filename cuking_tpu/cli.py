@@ -132,6 +132,8 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             kin_threshold=args.kin_threshold,
             capacity_per_device=capacity,
             max_results=args.max_results,
+            sub_panel=config.panel,
+            row_multiple=_mesh_row_multiple(config),
         )
     else:
         out = all_pairs_sharded(
@@ -143,6 +145,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             capacity_per_device=capacity,
             row_multiple=_mesh_row_multiple(config),
             max_results=args.max_results,
+            sub_panel=config.panel,
         )
     if args.distributed:
         return ring_output_local_resultset(out, args.max_results)
@@ -227,7 +230,10 @@ def run(args: argparse.Namespace) -> None:
         import jax
 
         try:
-            jax.distributed.initialize()
+            # Embedders may have initialized the runtime themselves (e.g.
+            # explicit coordinator/process args); respect that.
+            if not jax.distributed.is_initialized():
+                jax.distributed.initialize()
         except Exception:
             # A multi-host slice whose coordinator fails to come up must be
             # fatal: silently continuing would give every host

@@ -106,6 +106,15 @@ class RingOutput(NamedTuple):
         return self.i_idx.shape[0] // self.counts.shape[0]
 
 
+def _choose_sub_panel(nd: int, requested: int, row_multiple: int = 1) -> int:
+    """Largest sub-panel ≤ requested that divides the per-device row count
+    and respects the kernel's tile multiple; falls back to the whole block."""
+    for p in range(min(requested, nd), 0, -1):
+        if nd % p == 0 and p % row_multiple == 0:
+            return p
+    return nd
+
+
 def _ring_fn(
     local_planes: jnp.ndarray,  # [2, nd, W] this device's sample panel
     threshold: jnp.ndarray,     # f32 scalar
@@ -114,63 +123,56 @@ def _ring_fn(
     num_devices: int,
     num_samples: int,
     capacity: int,
+    sub_panel: int | None = None,
 ):
+    """Per-device SPMD body.  The nd×nd pair block of each ring step is
+    processed in ``sub_panel``-sized sub-tiles (an inner lax.scan), so
+    per-step intermediates (six int32 counter matrices + the fp32 epilogue)
+    stay bounded at sub_panel² regardless of how many samples a device owns —
+    without it, a production-sized row block (10k+ rows) would materialize
+    multi-GB counts tensors and OOM the chip."""
     nd = local_planes.shape[1]
+    words = local_planes.shape[2]
+    p = sub_panel or nd
+    assert nd % p == 0, (nd, p)
+    ns = nd // p
     me = lax.axis_index(AXIS)
-    gi = me * nd + jnp.arange(nd, dtype=jnp.int32)  # my global row indices
+    gi0 = me * nd
+    local = jnp.arange(p, dtype=jnp.int32)
     # Backwards rotation: device d receives from d+1, so after t hops device
     # d holds the panel of block (d + t) mod D.
     perm = [(d, (d - 1) % num_devices) for d in range(num_devices)]
 
-    def body(carry, t):
-        buf, out, running = carry
-        # Issue the next rotation BEFORE consuming `buf`: the permute and the
-        # kernel both only read it, so the ICI transfer overlaps the compute.
-        nxt = lax.ppermute(buf, AXIS, perm=perm) if num_devices > 1 else buf
-        owner = (me + t) % num_devices
-        # ring_schedule's active predicate, traced: the wrap step (2t == D,
-        # even D only) would compute each pair {d, d+D/2} twice; the upper
-        # half of the devices skips the kernel entirely.
-        active = (2 * t < num_devices) | ((2 * t == num_devices) & (2 * me < num_devices))
+    def emit(out, running, counts, gi_base, gj_base, same):
+        """Epilogue + threshold + canonical-orientation compaction for one
+        sub-tile.  ``same`` marks a sub-tile on the global diagonal (needs
+        the strict i < j mask, cuking.cu:199); distinct blocks always hold
+        distinct pairs.  KING is pair-symmetric, so a pair computed with the
+        higher block resident still emits (lo, hi)."""
+        res = king_from_counts(counts)
+        gi = gi_base + local
+        gj = gj_base + local
+        mask = (
+            (~same | (gi[:, None] < gj[None, :]))
+            & (gi[:, None] < num_samples)
+            & (gj[None, :] < num_samples)
+            & (res.kin > threshold)
+        )
+        flat = mask.ravel()
+        pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
+        pos = jnp.where(flat, pos, capacity)
+        gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
+        gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
+        io = jnp.minimum(gi2, gj2)
+        jo = jnp.maximum(gi2, gj2)
+        fields = (io, jo, res.kin, res.ibs0, res.ibs1, res.ibs2)
+        out = tuple(
+            o.at[pos].set(f.ravel(), mode="drop") for o, f in zip(out, fields)
+        )
+        return out, running + jnp.sum(flat, dtype=jnp.int32)
 
-        def compute(_):
-            # t == 0 compares a device's own panel against itself — a
-            # diagonal block, eligible for the kernel's lower-triangle tile
-            # skip (king_pallas `tri`).
-            counts = kernel(local_planes, buf, (t == 0).astype(jnp.int32))
-            res = king_from_counts(counts)
-            gj = owner * nd + jnp.arange(nd, dtype=jnp.int32)
-            # Off-diagonal steps cover disjoint blocks, so every (row, col)
-            # pair is a distinct unordered pair; only the diagonal step needs
-            # the strict i < j triangle mask (cuking.cu:199).  Validity masks
-            # padding rows; strict > threshold per cuking.cu:297.
-            mask = (
-                ((t > 0) | (gi[:, None] < gj[None, :]))
-                & (gi[:, None] < num_samples)
-                & (gj[None, :] < num_samples)
-                & (res.kin > threshold)
-            )
-            flat = mask.ravel()
-            pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
-            pos = jnp.where(flat, pos, capacity)
-
-            gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
-            gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
-            # Canonical orientation: KING is pair-symmetric, so a block pair
-            # computed with the higher block resident still emits (lo, hi).
-            io = jnp.minimum(gi2, gj2)
-            jo = jnp.maximum(gi2, gj2)
-            fields = (io, jo, res.kin, res.ibs0, res.ibs1, res.ibs2)
-            out2 = tuple(
-                o.at[pos].set(f.ravel(), mode="drop") for o, f in zip(out, fields)
-            )
-            return out2, running + jnp.sum(flat, dtype=jnp.int32)
-
-        def skip(_):
-            return out, running
-
-        out, running = lax.cond(active, compute, skip, None)
-        return (nxt, out, running), None
+    def slice_rows(planes, k):
+        return lax.dynamic_slice(planes, (0, k * p, 0), (2, p, words))
 
     out0 = (
         jnp.full((capacity,), -1, jnp.int32),
@@ -180,10 +182,85 @@ def _ring_fn(
         jnp.zeros((capacity,), jnp.int32),
         jnp.zeros((capacity,), jnp.int32),
     )
-    (buf, out, running), _ = lax.scan(
-        body, (local_planes, out0, jnp.int32(0)),
-        jnp.arange(ring_num_steps(num_devices), dtype=jnp.int32),
+
+    # The first rotation is issued BEFORE the local-triangle phase: the hop
+    # that delivers block (me+1) rides ICI while the diagonal compute runs.
+    buf0 = (
+        lax.ppermute(local_planes, AXIS, perm=perm)
+        if num_devices > 1
+        else local_planes
     )
+
+    # Phase 1 — the resident block's own triangle (ring_schedule step 0).
+    # The sub-pair list is STATIC and upper-triangular: unlike a traced-tri
+    # sweep, sub-tiles below the diagonal are never scheduled at all, and
+    # equal-index sub-tiles get the kernel's tri tile skip.
+    tri_pairs = jnp.asarray(
+        [(ii, jj) for ii in range(ns) for jj in range(ii, ns)], jnp.int32
+    ).reshape(-1, 2)
+
+    def tri_body(carry, pair):
+        out, running = carry
+        ii, jj = pair[0], pair[1]
+        counts = kernel(
+            slice_rows(local_planes, ii),
+            slice_rows(local_planes, jj),
+            (ii == jj).astype(jnp.int32),
+        )
+        out, running = emit(
+            out, running, counts, gi0 + ii * p, gi0 + jj * p, ii == jj
+        )
+        return (out, running), None
+
+    (out, running), _ = lax.scan(tri_body, (out0, jnp.int32(0)), tri_pairs)
+
+    # Phase 2 — ring steps t = 1..T-1 against visiting blocks (disjoint from
+    # the resident block, so the full ns×ns sub-grid is useful work).
+    grid_pairs = jnp.asarray(
+        [(ii, jj) for ii in range(ns) for jj in range(ns)], jnp.int32
+    ).reshape(-1, 2)
+
+    def body(carry, t):
+        buf, out, running = carry
+        # Issue the next rotation BEFORE consuming `buf`: the permute and the
+        # kernel both only read it, so the ICI transfer overlaps the compute.
+        nxt = lax.ppermute(buf, AXIS, perm=perm) if num_devices > 1 else buf
+        owner = (me + t) % num_devices
+        # ring_schedule's active predicate, traced: the wrap step (2t == D,
+        # even D only) would compute each pair {d, d+D/2} twice; the upper
+        # half of the devices skips the kernels entirely.
+        active = (2 * t < num_devices) | (
+            (2 * t == num_devices) & (2 * me < num_devices)
+        )
+
+        def compute(_):
+            def sub_body(carry2, pair):
+                out2, running2 = carry2
+                ii, jj = pair[0], pair[1]
+                counts = kernel(
+                    slice_rows(local_planes, ii),
+                    slice_rows(buf, jj),
+                    jnp.int32(0),
+                )
+                return emit(
+                    out2, running2, counts,
+                    gi0 + ii * p, owner * nd + jj * p,
+                    jnp.bool_(False),
+                ), None
+
+            (out2, running2), _ = lax.scan(
+                sub_body, (out, running), grid_pairs
+            )
+            return out2, running2
+
+        def skip(_):
+            return out, running
+
+        out, running = lax.cond(active, compute, skip, None)
+        return (nxt, out, running), None
+
+    steps = jnp.arange(1, ring_num_steps(num_devices), dtype=jnp.int32)
+    (buf, out, running), _ = lax.scan(body, (buf0, out, running), steps)
     return RingOutput(
         i_idx=out[0], j_idx=out[1], kin=out[2], ibs0=out[3], ibs1=out[4],
         ibs2=out[5], counts=running[None],
@@ -201,6 +278,7 @@ def all_pairs_sharded(
     row_multiple: int = 1,
     max_results: int | None = None,
     auto_retry: bool = True,
+    sub_panel: int | None = None,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
@@ -208,7 +286,8 @@ def all_pairs_sharded(
     placed sharded along the sample axis; padding self-masks via the
     ``num_samples`` validity check.  ``row_multiple`` additionally rounds the
     per-device row count up (e.g. to the Pallas tile size, which requires
-    tile-divisible panels).
+    tile-divisible panels).  ``sub_panel`` bounds per-step intermediates (see
+    ``_ring_fn``); production callers should pass ~1024.
     """
     num_devices = mesh.devices.size
     n = planes.shape[1]
@@ -227,6 +306,7 @@ def all_pairs_sharded(
         planes_sharded, num_samples, mesh, kernel,
         kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
         max_results=max_results, auto_retry=auto_retry,
+        sub_panel=sub_panel, row_multiple=row_multiple,
     )
 
 
@@ -240,6 +320,8 @@ def all_pairs_presharded(
     capacity_per_device: int = 1 << 20,
     max_results: int | None = None,
     auto_retry: bool = True,
+    sub_panel: int | None = None,
+    row_multiple: int = 1,
 ) -> RingOutput:
     """Ring sweep over an ALREADY sample-sharded global plane array.
 
@@ -256,6 +338,8 @@ def all_pairs_presharded(
     all-gathered counts.  Pass ``auto_retry=False`` to fail fast instead.
     """
     num_devices = mesh.devices.size
+    nd = planes_sharded.shape[1] // num_devices
+    p = _choose_sub_panel(nd, sub_panel, row_multiple) if sub_panel else None
 
     def run(capacity: int) -> RingOutput:
         fn = jax.shard_map(
@@ -265,6 +349,7 @@ def all_pairs_presharded(
                 num_devices=num_devices,
                 num_samples=num_samples,
                 capacity=capacity,
+                sub_panel=p,
             ),
             mesh=mesh,
             in_specs=(P(None, AXIS, None), P()),

@@ -137,7 +137,9 @@ def check_ring_fit(
 ) -> None:
     """Mesh-path capacity check: each device holds its resident panel, the
     rotating visitor buffer (double-buffered by the overlapped ppermute), and
-    its hit buffers.  --split_factor can't relieve the mesh path (it requires
+    its hit buffers; per-step compute intermediates are bounded by the
+    sub-panel tiling (parallel/ring._ring_fn) and covered by the usable-HBM
+    margin.  --split_factor can't relieve the mesh path (it requires
     split_factor=1); the fix is a bigger slice or the sharded engine path."""
     limit = device_bytes_limit() if bytes_limit is None else bytes_limit
     if limit is None:

@@ -157,6 +157,60 @@ def test_ring_with_pallas_interpret_kernel():
     assert_resultsets_equal(got, exp)
 
 
+@pytest.mark.parametrize("sub_panel", [4, 8, 16, 64])
+def test_ring_sub_panel_matches_oracle(sub_panel):
+    """Per-step pair blocks processed in sub_panel-sized sub-tiles (bounding
+    device intermediates at production row counts) must be exactly equivalent
+    to whole-block processing."""
+    g = random_genotypes(64, 400, missing_rate=0.1, seed=38, num_related_pairs=4)
+    layout = PlaneLayout.create(400, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 64, mesh, kernel, kin_threshold=0.05,
+        capacity_per_device=4096, sub_panel=sub_panel,
+    )
+    got = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(got, exp)
+    # Exactly-once at sub-tile granularity too (keep-all + dedup).
+    out2 = all_pairs_sharded(
+        planes, 64, mesh, kernel, kin_threshold=-2.0,
+        capacity_per_device=4096, sub_panel=sub_panel,
+    )
+    got2 = ring_output_to_resultset(out2)
+    pairs = set(zip(got2.i_idx.tolist(), got2.j_idx.tolist()))
+    assert len(pairs) == len(got2) == len(oracle_resultset(g, -2.0))
+
+
+def test_ring_sub_panel_with_pallas_interpret():
+    """Sub-tiled ring + Pallas tri kernel (the production pod configuration)
+    in interpret mode; sub_panel respects the kernel's tile multiple."""
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
+    g = random_genotypes(60, 256, missing_rate=0.1, seed=39, num_related_pairs=3)
+    layout = PlaneLayout.create(256, words_multiple=8)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+
+    def pallas_kernel(pi, pj, tri):
+        return panel_counts_pallas(
+            pi, pj, tri, site_chunk_words=8, tile_i=8, tile_j=8,
+            interpret=True,
+        )
+
+    out = all_pairs_sharded(
+        planes, 60, mesh, pallas_kernel,
+        kin_threshold=0.05, capacity_per_device=4096, row_multiple=8,
+        sub_panel=8,
+    )
+    got = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(got, exp)
+
+
 # -- overflow semantics -------------------------------------------------------
 
 

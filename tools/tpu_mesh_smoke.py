@@ -38,6 +38,7 @@ def main() -> int:
             pi, pj, tri, site_chunk_words=128
         ),
         kin_threshold=0.0884, capacity_per_device=65536, row_multiple=256,
+        sub_panel=256,  # production sub-tiled block processing
     )
     rs = ring_output_to_resultset(out)
 
