@@ -161,7 +161,44 @@ def main():
     log(f"hit-bearing sweep: {hitful_dt*1e3:.1f} ms, {len(rs)} hits "
         f"(expected ~{n_hits_expected}) -> {hitful_pairs_per_sec/1e6:.0f} M pairs/s")
 
-    # (b) 1M-site configuration (gnomAD QC-site scale, BASELINE.json cfg 2).
+    # (b) the mesh ring code path on this one chip (D=1: the sub-tiled
+    # local-triangle phase over the whole cohort) — same pair work as the
+    # engine sweep, so the ratio exposes any mesh-path-only overhead.
+    from jax.sharding import Mesh
+    from cuking_tpu.models.king import _resolve_kernel
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("samples",))
+    ring_kernel = _resolve_kernel(config)
+    # Shard once up front (planes already panel-padded); the timed region
+    # then measures the sweep, not the host→device upload.
+    planes_sharded = jax.device_put(
+        storage.planes, NamedSharding(mesh, P(None, "samples", None))
+    )
+    from cuking_tpu.parallel.ring import all_pairs_presharded
+
+    ring_args = dict(
+        kin_threshold=0.0884, capacity_per_device=1 << 20, sub_panel=panel,
+        row_multiple=256 if on_tpu else 1,
+    )
+    out = all_pairs_presharded(
+        planes_sharded, num_samples, mesh, ring_kernel, **ring_args
+    )
+    jax.block_until_ready(out.counts)  # warm-up
+    t0 = time.perf_counter()
+    out = all_pairs_presharded(
+        planes_sharded, num_samples, mesh, ring_kernel,
+        **{**ring_args, "kin_threshold": 0.08841},
+    )
+    jax.block_until_ready(out.counts)
+    ring_dt = time.perf_counter() - t0
+    ring_pairs_per_sec = unique_pairs / ring_dt
+    log(f"ring path (1 device, sub-tiled triangle): {ring_dt*1e3:.1f} ms, "
+        f"{int(np.asarray(out.counts)[0])} hits -> "
+        f"{ring_pairs_per_sec/1e6:.0f} M pairs/s")
+
+    # (c) 1M-site configuration (gnomAD QC-site scale, BASELINE.json cfg 2).
     num_samples_1m = 8192 if on_tpu else 96
     num_sites_1m = 1_000_000 if on_tpu else 10_000
     layout_1m = PlaneLayout.create(num_sites_1m, words_multiple=site_chunk)
@@ -193,6 +230,7 @@ def main():
         "diagnostics": {
             "pairs_per_sec_hitful_default_threshold": round(hitful_pairs_per_sec),
             "hits_emitted": len(rs),
+            "pairs_per_sec_ring_path_1dev": round(ring_pairs_per_sec),
             "pairs_per_sec_1m_sites": round(pairs_per_sec_1m),
             "num_sites_1m": num_sites_1m,
             "popcount_baseline_pairs_per_sec": round(base_pairs_per_sec),
