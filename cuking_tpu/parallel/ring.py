@@ -289,7 +289,7 @@ def all_pairs_sharded(
     row_multiple: int = 1,
     max_results: int | None = None,
     auto_retry: bool = True,
-    sub_panel: int | None = None,
+    sub_panel: int | None = 1024,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
@@ -298,7 +298,8 @@ def all_pairs_sharded(
     ``num_samples`` validity check.  ``row_multiple`` additionally rounds the
     per-device row count up (e.g. to the Pallas tile size, which requires
     tile-divisible panels).  ``sub_panel`` bounds per-step intermediates (see
-    ``_ring_fn``); production callers should pass ~1024.
+    ``_ring_fn``); the default 1024 keeps them ≤~25 MiB at any cohort size
+    (``None`` = whole block, test/debug only).
     """
     num_devices = mesh.devices.size
     n = planes.shape[1]
@@ -331,7 +332,7 @@ def all_pairs_presharded(
     capacity_per_device: int = 1 << 20,
     max_results: int | None = None,
     auto_retry: bool = True,
-    sub_panel: int | None = None,
+    sub_panel: int | None = 1024,
     row_multiple: int = 1,
 ) -> RingOutput:
     """Ring sweep over an ALREADY sample-sharded global plane array.

@@ -75,3 +75,48 @@ def test_engine_fuzz_sharded_merge(tmp_path):
         merged = ResultSet.concat_and_sort(parts)
         exp = oracle_resultset(g, 0.05)
         assert_resultsets_equal(merged, exp)
+
+
+RING_CASES = [
+    # (n, s, missing, threshold, num_devices, sub_panel, seed)
+    (30, 95, 0.0, 0.0884, 3, None, 200),
+    (61, 257, 0.3, 0.05, 8, 4, 201),
+    (64, 128, 0.5, -2.0, 5, 8, 202),
+    (23, 500, 0.15, 0.2, 2, 2, 203),
+    (48, 333, 0.08, 0.0, 6, 1024, 204),  # default-style sub_panel > nd
+]
+
+
+@pytest.mark.parametrize("n,s,missing,threshold,num_devices,sub_panel,seed",
+                         RING_CASES)
+def test_ring_fuzz_vs_oracle(n, s, missing, threshold, num_devices,
+                             sub_panel, seed):
+    """Randomized mesh-path cross-validation: the balanced triangular ring
+    with sub-tiled blocks over varied mesh sizes must be bit-exact."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cuking_tpu.ops.bitset import PlaneLayout, pack_genotypes
+    from cuking_tpu.ops.king_mm import panel_counts_matmul
+    from cuking_tpu.parallel.ring import (
+        all_pairs_sharded,
+        ring_output_to_resultset,
+    )
+
+    g = random_genotypes(
+        n, s, missing_rate=missing, seed=seed, num_related_pairs=min(3, n // 4)
+    )
+    layout = PlaneLayout.create(s, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = Mesh(np.array(jax.devices()[:num_devices]), axis_names=("samples",))
+    out = all_pairs_sharded(
+        planes, n, mesh,
+        lambda pi, pj, tri=None: panel_counts_matmul(
+            pi, pj, tri, site_chunk_words=16
+        ),
+        kin_threshold=threshold, capacity_per_device=8192,
+        sub_panel=sub_panel,
+    )
+    got = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, threshold)
+    assert_resultsets_equal(got, exp)
