@@ -17,16 +17,18 @@ orientation and emitted as ``(min(i, j), max(i, j))``.  Rotating panels
 device d at step t, so the schedule
 
     step 0:            every device × its own block   (diagonal, tri-skip)
-    steps 1..ceil(D/2)-1: every device × block (d+t)  (distinct pairs)
-    step D/2 (D even): only devices d < D/2 compute   (the other half would
-                       duplicate pair {d, d+D/2}; they skip via lax.cond)
+    steps 1..⌊(D-1)/2⌋: every device × block (d+t)    (distinct pairs, all
+                       devices fully busy — no masking at all)
+    step D/2 (D even): devices d and d+D/2 both hold pair {d, d+D/2} and
+                       each computes HALF of it (sub-tile row/col split)
 
 covers each of the D(D+1)/2 block pairs exactly once in ``D//2 + 1`` steps
 (⌈(D+1)/2⌉ for odd D) — the ring analogue of the reference's exactly-once
-triangular Submatrix algebra (cuking.cu:129-179).  Per-device useful steps
-differ by at most one; wall-clock efficiency is (D+1)/(D+2) for even D
-(~90% at D=8, 99.6% at D=256) and 100% for odd D, versus ~50% for a naive
-D-step rotation with an i<j mask.  ``ring_schedule`` is the executable
+triangular Submatrix algebra (cuking.cu:129-179).  Every device performs
+EXACTLY the same work (D/2 + 0.5 block-pairs for even D, (D+1)/2 for odd),
+so wall-clock efficiency is ~100% at any D (±1 sub-tile of rounding when
+the per-device sub-panel count is odd), versus ~50% for a naive D-step
+rotation with an i<j mask.  ``ring_schedule`` is the executable
 specification; ``_ring_fn`` mirrors it in traced form.
 
 The next rotation's ``ppermute`` is issued *before* the kernel consumes the
@@ -67,17 +69,19 @@ def ring_num_steps(num_devices: int) -> int:
     return num_devices // 2 + 1 if num_devices % 2 == 0 else (num_devices + 1) // 2
 
 
-def ring_schedule(num_devices: int) -> list[tuple[int, int, int, bool]]:
+def ring_schedule(num_devices: int) -> list[tuple[int, int, int, float]]:
     """Executable specification of the schedule: (device, step, col_block,
-    active) for every (device, step).  Tests assert it covers each unordered
-    block pair exactly once with per-device active counts within ±1."""
+    work_fraction) for every (device, step).  The wrap step of an even-D
+    ring (2t == D) is shared: BOTH devices of pair {d, d+D/2} compute half
+    the block (fraction 0.5), split by sub-tile rows/cols in ``_ring_fn``
+    phase 3.  Tests assert per-pair fractions sum to exactly 1 (each block
+    pair computed exactly once) and per-device work is balanced."""
     d_ = num_devices
     sched = []
     for t in range(ring_num_steps(d_)):
         for dev in range(d_):
-            sched.append(
-                (dev, t, (dev + t) % d_, 2 * t < d_ or (2 * t == d_ and 2 * dev < d_))
-            )
+            frac = 1.0 if 2 * t < d_ else 0.5
+            sched.append((dev, t, (dev + t) % d_, frac))
     return sched
 
 
@@ -225,11 +229,29 @@ def _ring_fn(
 
     (out, running), _ = lax.scan(tri_body, (out0, jnp.int32(0)), tri_pairs)
 
-    # Phase 2 — ring steps t = 1..T-1 against visiting blocks (disjoint from
-    # the resident block, so the full ns×ns sub-grid is useful work).
+    # Phase 2 — full ring steps t = 1..⌊(D-1)/2⌋ against visiting blocks
+    # (disjoint from the resident block, so the full ns×ns sub-grid is
+    # useful work on EVERY device — no masking, no idling).
     grid_pairs = jnp.asarray(
         [(ii, jj) for ii in range(ns) for jj in range(ns)], jnp.int32
     ).reshape(-1, 2)
+
+    def cross_sub_body(buf, owner):
+        def sub_body(carry2, pair):
+            out2, running2 = carry2
+            ii, jj = pair[0], pair[1]
+            counts = kernel(
+                slice_rows(local_planes, ii),
+                slice_rows(buf, jj),
+                jnp.int32(0),
+            )
+            return emit(
+                out2, running2, counts,
+                gi0 + ii * p, owner * nd + jj * p,
+                jnp.bool_(False),
+            ), None
+
+        return sub_body
 
     def body(carry, t):
         buf, out, running = carry
@@ -237,41 +259,44 @@ def _ring_fn(
         # kernel both only read it, so the ICI transfer overlaps the compute.
         nxt = lax.ppermute(buf, AXIS, perm=perm) if num_devices > 1 else buf
         owner = (me + t) % num_devices
-        # ring_schedule's active predicate, traced: the wrap step (2t == D,
-        # even D only) would compute each pair {d, d+D/2} twice; the upper
-        # half of the devices skips the kernels entirely.
-        active = (2 * t < num_devices) | (
-            (2 * t == num_devices) & (2 * me < num_devices)
+        (out, running), _ = lax.scan(
+            cross_sub_body(buf, owner), (out, running), grid_pairs
         )
-
-        def compute(_):
-            def sub_body(carry2, pair):
-                out2, running2 = carry2
-                ii, jj = pair[0], pair[1]
-                counts = kernel(
-                    slice_rows(local_planes, ii),
-                    slice_rows(buf, jj),
-                    jnp.int32(0),
-                )
-                return emit(
-                    out2, running2, counts,
-                    gi0 + ii * p, owner * nd + jj * p,
-                    jnp.bool_(False),
-                ), None
-
-            (out2, running2), _ = lax.scan(
-                sub_body, (out, running), grid_pairs
-            )
-            return out2, running2
-
-        def skip(_):
-            return out, running
-
-        out, running = lax.cond(active, compute, skip, None)
         return (nxt, out, running), None
 
-    steps = jnp.arange(1, ring_num_steps(num_devices), dtype=jnp.int32)
+    full_end = (num_devices - 1) // 2
+    steps = jnp.arange(1, full_end + 1, dtype=jnp.int32)
     (buf, out, running), _ = lax.scan(body, (buf0, out, running), steps)
+
+    # Phase 3 — the wrap step t = D/2 (even D only).  Devices a and a+D/2
+    # both hold the pair {a, a+D/2} after D/2 rotations; each computes HALF
+    # of it (ring_schedule frac 0.5): the lower-indexed device the first
+    # h sub-rows of its resident block against the whole visitor, the
+    # higher-indexed device the whole resident block against the visitor's
+    # LAST ns-h sub-cols (= the canonical block's remaining rows).  Exact
+    # partition for any h; h = ns//2 balances it (±1 sub-row when ns is
+    # odd, a whole-step idle only in the degenerate ns == 1 case).
+    if num_devices % 2 == 0 and num_devices > 1:
+        h = ns // 2
+        owner = (me + num_devices // 2) % num_devices
+        low_pairs = jnp.asarray(
+            [(ii, jj) for ii in range(h) for jj in range(ns)], jnp.int32
+        ).reshape(-1, 2)
+        high_pairs = jnp.asarray(
+            [(ii, jj) for ii in range(ns) for jj in range(h, ns)], jnp.int32
+        ).reshape(-1, 2)
+
+        def half(pairs):
+            def go(carry):
+                return lax.scan(cross_sub_body(buf, owner), carry, pairs)[0]
+
+            return go
+
+        out, running = lax.cond(
+            2 * me < num_devices, half(low_pairs), half(high_pairs),
+            (out, running),
+        )
+
     return RingOutput(
         i_idx=out[0], j_idx=out[1], kin=out[2], ibs0=out[3], ibs1=out[4],
         ibs2=out[5], counts=running[None],

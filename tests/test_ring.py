@@ -37,40 +37,58 @@ def kernel(pi, pj, tri=None):
 
 @pytest.mark.parametrize("num_devices", list(range(1, 17)))
 def test_ring_schedule_exactly_once_and_balanced(num_devices):
-    """The balanced schedule's active (device, step) entries cover every
-    unordered block pair exactly once — D(D+1)/2 kernel invocations, not D²
-    (the reference's exactly-once Submatrix property, cuking.cu:129-179) —
-    with per-device useful-step counts within ±1."""
+    """The balanced schedule covers every unordered block pair with work
+    fractions summing to exactly 1 — D(D+1)/2 block-pair computations, not
+    D² (the reference's exactly-once Submatrix property, cuking.cu:129-179)
+    — and every device does exactly the same total work (the even-D wrap
+    step is half/half split between the two devices holding the pair)."""
     sched = ring_schedule(num_devices)
     covered = {}
-    per_device = {d: 0 for d in range(num_devices)}
-    for dev, step, col, active in sched:
+    per_device = {d: 0.0 for d in range(num_devices)}
+    for dev, step, col, frac in sched:
         assert col == (dev + step) % num_devices
-        if active:
-            per_device[dev] += 1
-            pair = (min(dev, col), max(dev, col))
-            assert pair not in covered, f"pair {pair} covered twice"
-            covered[pair] = (dev, step)
+        assert frac in (0.5, 1.0)
+        per_device[dev] += frac
+        pair = (min(dev, col), max(dev, col))
+        covered[pair] = covered.get(pair, 0.0) + frac
     want = {
         (a, b)
         for a in range(num_devices)
         for b in range(a, num_devices)
     }
     assert set(covered) == want
-    assert sum(per_device.values()) == num_devices * (num_devices + 1) // 2
-    assert max(per_device.values()) - min(per_device.values()) <= 1
-    # Wall-clock steps: ⌈(D+1)/2⌉ (+1 half-active wrap step for even D).
+    assert all(v == 1.0 for v in covered.values()), covered
+    total = sum(per_device.values())
+    assert total == num_devices * (num_devices + 1) / 2
+    # Perfect balance: every device does the same work.
+    assert max(per_device.values()) == min(per_device.values())
+    # Wall-clock steps: ⌈(D+1)/2⌉ (+1 half-shared wrap step for even D).
     assert ring_num_steps(num_devices) == max(s for _, s, _, _ in sched) + 1
     assert ring_num_steps(num_devices) <= num_devices // 2 + 1
 
 
 def test_ring_schedule_efficiency_bound():
-    """Useful fraction of scheduled device-steps must make the >=85% scaling
-    target reachable at production mesh sizes (VERDICT r1 missing #1)."""
-    for num_devices in (8, 16, 32, 64, 256):
-        useful = num_devices * (num_devices + 1) / 2
-        scheduled = num_devices * ring_num_steps(num_devices)
-        assert useful / scheduled >= 0.88, num_devices
+    """Per-device work fraction of scheduled device-steps: with the shared
+    wrap step the schedule is work-balanced at every D, comfortably above
+    the >=85% scaling target (VERDICT r1 missing #1).  The only residual
+    slack is the diagonal step's triangle (≈half a step, recovered by the
+    kernel's tri tile skip) and ±1 sub-tile rounding at odd sub-panel
+    counts."""
+    for num_devices in (2, 8, 16, 32, 64, 256):
+        sched = ring_schedule(num_devices)
+        work = {d: 0.0 for d in range(num_devices)}
+        for dev, _, _, frac in sched:
+            work[dev] += frac
+        scheduled_steps = ring_num_steps(num_devices)
+        # Every device's scheduled step-slots are ~fully utilized: the wrap
+        # slot carries 0.5 of work on both devices by design.
+        utilization = min(work.values()) / scheduled_steps
+        expected = (num_devices / 2 + (0.5 if num_devices % 2 == 0 else 0.0))
+        assert min(work.values()) == max(work.values())
+        assert utilization >= 0.88 or num_devices <= 2, (
+            num_devices, utilization)
+        assert abs(min(work.values()) - expected) < 1e-9 or num_devices % 2, (
+            num_devices, work)
 
 
 # -- end-to-end parity --------------------------------------------------------
