@@ -72,3 +72,43 @@ def test_related_samples_to_drop_end_to_end():
         if a not in drop and b not in drop
     ]
     assert not kept_pairs
+
+
+def test_tie_breaker_orders_equal_degree_removals():
+    """Hail tie_breaker semantics: negative return = first node removed
+    first.  A 4-cycle 0-1-2-3 has all-equal degrees; preferring to remove
+    higher-rank nodes must keep the low-rank pair."""
+    import numpy as np
+
+    from cuking_tpu.prune import maximal_independent_set
+
+    i = np.array([0, 1, 2, 3])
+    j = np.array([1, 2, 3, 0])
+    rank = {0: 0.0, 1: 3.0, 2: 1.0, 3: 2.0}  # higher = worse, drop first
+
+    kept = maximal_independent_set(i, j, tie_breaker=lambda l, r: rank[r] - rank[l])
+    # Node 1 (rank 3) goes first, then node 3 (rank 2); 0 and 2 survive.
+    assert kept == {0, 2}
+
+    # Opposite preference drops the low-rank nodes instead.
+    kept2 = maximal_independent_set(i, j, tie_breaker=lambda l, r: rank[l] - rank[r])
+    assert kept2 == {1, 3}
+
+    # Without a tie breaker the default path stays deterministic.
+    assert maximal_independent_set(i, j) == maximal_independent_set(i, j)
+
+
+def test_tie_breaker_through_related_samples_to_drop():
+    import numpy as np
+
+    from cuking_tpu.models.king import ResultSet
+    from cuking_tpu.prune import related_samples_to_drop
+
+    z = np.zeros(2, np.int32)
+    rs = ResultSet(
+        i_idx=np.array([5, 5], np.int32), j_idx=np.array([7, 9], np.int32),
+        kin=np.full(2, 0.5, np.float32), ibs0=z, ibs1=z.copy(), ibs2=z.copy(),
+    )
+    # Star around 5: highest degree wins regardless of tie breaker.
+    drop = related_samples_to_drop(rs, tie_breaker=lambda l, r: l - r)
+    assert drop == {5}
