@@ -30,29 +30,46 @@ ok = all(np.array_equal(np.asarray(a), b) for a, b in zip(c, e))
 print("pallas exact vs oracle:", ok)
 assert ok
 
-# Timing at production scale: panel=1024 samples, S=100k sites
+# Timing at production scale: panel=1024 samples, S=100k sites.
+# Scan-differencing over DISTINCT panel slices: per-call host timing through
+# a TPU runtime carries ~25 ms of round-trip latency, and the runtime caches
+# identical (executable, args) executions — a 1-step vs K-step in-device
+# chain isolates true device time (same method as bench.py/tune_pallas.py).
 S = 100_000
 layout = PlaneLayout.create(S, words_multiple=128)
 W = layout.words
+panel = 1024
 print(f"S={S} -> W={W} words, padded sites={layout.padded_sites}")
 rng = np.random.default_rng(0)
-pl_i = jnp.asarray(rng.integers(0, 2**32, (2, 1024, W), dtype=np.uint32))
-pl_j = jnp.asarray(rng.integers(0, 2**32, (2, 1024, W), dtype=np.uint32))
+planes = jnp.asarray(rng.integers(0, 2**32, (2, 16 * panel, W), dtype=np.uint32))
 
-def bench(fn, name, iters=5):
-    out = fn(pl_i, pl_j)  # compile
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(pl_i, pl_j)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    pairs = 1024 * 1024
-    print(f"{name}: {dt*1e3:.2f} ms/panel-pair -> {pairs/dt/1e6:.1f} M pairs/s "
-          f"(at {S} sites)")
-    return dt
+import functools
+from jax import lax
+
+
+def bench(kernel_fn, name):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(planes, k_steps):
+        def step(acc, k):
+            pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, W))
+            pj = lax.dynamic_slice(planes, (0, k * panel, 0), (2, panel, W))
+            c = kernel_fn(pi, pj)
+            consumed = (c.both_het + c.het_i + c.het_j + c.opposing_hom
+                        + c.concordant_hom + c.shared_sites)
+            return acc + consumed.sum(), None
+
+        acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k_steps))
+        return acc
+
+    k_long = 8
+    int(chain(planes, 1)); int(chain(planes, k_long))  # compile both
+    t0 = time.perf_counter(); int(chain(planes, 1))
+    t1 = time.perf_counter(); int(chain(planes, k_long))
+    t2 = time.perf_counter()
+    dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
+    print(f"{name}: {dt*1e3:.2f} ms/panel-pair -> {panel*panel/dt/1e6:.1f} "
+          f"M pairs/s (at {S} sites)")
+
 
 bench(lambda a, b: panel_counts_pallas(a, b, site_chunk_words=128), "pallas")
-import functools
-mm = jax.jit(functools.partial(panel_counts_matmul, site_chunk_words=128))
-bench(mm, "xla-matmul")
+bench(functools.partial(panel_counts_matmul, site_chunk_words=128), "xla-matmul")
