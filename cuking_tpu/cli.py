@@ -177,12 +177,6 @@ def _multihost_context_reason() -> str | None:
     return None
 
 
-def _default_ring_capacity(max_results: int, num_devices: int) -> int:
-    from cuking_tpu.parallel.ring import default_capacity_per_device
-
-    return default_capacity_per_device(max_results, num_devices)
-
-
 def _make_mesh():
     import jax
     from jax.sharding import Mesh
@@ -320,6 +314,8 @@ def run(args: argparse.Namespace) -> None:
     if args.use_mesh:
         import jax as _jax
 
+        from cuking_tpu.parallel.ring import default_capacity_per_device
+
         n_dev = len(_jax.devices())
         rows_per_device = -(-max(metadata.num_samples, 1) // n_dev)
         rm = _mesh_row_multiple(config)
@@ -327,7 +323,7 @@ def run(args: argparse.Namespace) -> None:
         check_ring_fit(
             metadata.num_samples, layout.words, rows_per_device,
             args.capacity_per_device
-            or _default_ring_capacity(args.max_results, n_dev),
+            or default_capacity_per_device(args.max_results, n_dev),
             n_dev,
         )
     else:

@@ -154,6 +154,7 @@ def wait_for_completion(
     poll_interval_s: int = POLL_INTERVAL_S,
     log=print,
     max_polls: int | None = None,
+    max_run_duration_s: int = MAX_RUN_DURATION_S,
 ) -> str:
     """Polls job state every 5 minutes (cloud_batch_submit.py:103-130).
 
@@ -162,9 +163,11 @@ def wait_for_completion(
     and returns the final state.  Any other non-active state (FAILED,
     CANCELLED, DELETION_IN_PROGRESS, ...) returns without the sentinel — the
     reference script only knows SUCCEEDED/FAILED, but library callers must
-    not poll a cancelled job forever.  ``max_polls`` (default: the job's own
-    36,000 s maxRunDuration budget plus slack) bounds an unattended caller
-    even if the control plane keeps reporting an active state.
+    not poll a cancelled job forever.  ``max_polls`` bounds an unattended
+    caller even if the control plane keeps reporting an active state; its
+    default budgets the job's maxRunDuration (pass ``max_run_duration_s`` to
+    match a non-default ``render_batch_job``) plus 24 h of queue-time slack
+    — Batch's maxRunDuration excludes time spent QUEUED.
     """
     if write_sentinel is None:
 
@@ -176,7 +179,7 @@ def wait_for_completion(
 
     active_states = {"", "STATE_UNSPECIFIED", "QUEUED", "SCHEDULED", "RUNNING"}
     if max_polls is None:
-        max_polls = (MAX_RUN_DURATION_S + 3600) // max(poll_interval_s, 1)
+        max_polls = (max_run_duration_s + 24 * 3600) // max(poll_interval_s, 1)
     for _ in range(max_polls):
         described = runner(
             [

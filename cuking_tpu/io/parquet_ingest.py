@@ -159,7 +159,8 @@ def ingest_parquet(
                 fut.result()
             except BaseException as e:
                 errors.append(e)
+    # Invalidate any device-side cache of the planes (KingEngine.planes_dev)
+    # even on partial failure — some blocks may already have been scattered.
+    panel_storage.mark_mutated()
     if errors:
         raise errors[0]
-    # Invalidate any device-side cache of the planes (KingEngine.planes_dev).
-    panel_storage.mark_mutated()

@@ -453,6 +453,12 @@ class KingEngine:
                 except Exception:
                     pass
                 deferred.append((arr_dev, fast, per_step))
+                # Bound the deferral window: each gathered array is up to
+                # ~25 MiB of HBM, and a hit-dense shard can have hundreds of
+                # hit batches — unbounded deferral would re-create the
+                # memory blowup the dispatch window exists to prevent.
+                if len(deferred) > 8:
+                    materialize(*deferred.pop(0))
             for k in hit_rows[per_step[hit_rows] > cap_step]:
                 # Rare: this step alone exceeded the fast-path buffer —
                 # recompute it at full panel² capacity (exact).

@@ -39,7 +39,10 @@ def scatter_hits(mask: jnp.ndarray, fields, capacity: int) -> tuple:
     Positions are unique by construction (a cumsum over the mask)."""
     flat = mask.ravel()
     pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
-    pos = jnp.where(flat, pos, capacity)  # out-of-bounds → dropped
+    # Dropped lanes get DISTINCT out-of-bounds indices: mode='drop' discards
+    # them either way, but unique_indices=True documents UNDEFINED behavior
+    # for repeated indices, so the promise must hold literally.
+    pos = jnp.where(flat, pos, capacity + jnp.arange(flat.size, dtype=jnp.int32))
     return tuple(
         jnp.full((capacity,), fill, f.dtype).at[pos].set(
             f.ravel(), mode="drop", unique_indices=True

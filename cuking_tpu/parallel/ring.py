@@ -56,7 +56,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cuking_tpu.models.king import ResultSet
+from cuking_tpu.models.king import DEFAULT_MAX_RESULTS, ResultSet
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.utils.status import ResourceExhaustedError
 
@@ -167,12 +167,16 @@ def _ring_fn(
 
         def scatter(out):
             # TPU scatters are expensive (p² updates into the device buffer);
-            # unique positions by construction, and only hit-bearing
-            # sub-tiles pay — the cond skips the scatter AND the cumsum for
-            # the overwhelmingly common zero-hit sub-tile (measured 28×
-            # end-to-end on a v5e without the gate).
+            # only hit-bearing sub-tiles pay — the cond skips the scatter AND
+            # the cumsum for the overwhelmingly common zero-hit sub-tile
+            # (measured 28× end-to-end on a v5e without the gate).  Dropped
+            # lanes get DISTINCT out-of-bounds indices so the
+            # unique_indices promise holds literally, not just post-drop.
             pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
-            pos = jnp.where(flat, pos, capacity)
+            pos = jnp.where(
+                flat, pos,
+                capacity + jnp.arange(flat.size, dtype=jnp.int32),
+            )
             gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
             gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
             io = jnp.minimum(gi2, gj2)
@@ -388,9 +392,13 @@ def all_pairs_presharded(
     if auto_retry:
         counts = ring_global_counts(out)
         over = int(counts.max(initial=0))
-        if over > capacity_per_device and (
-            max_results is None or int(counts.sum()) <= max_results
-        ):
+        # Retry only when the run is going to SUCCEED at the exact capacity:
+        # the global total must be within max_results (the reference's
+        # semantic; its own default when the caller gave none — retrying an
+        # unbounded keep-everything run would allocate `over` slots per
+        # device and trade a clean ResourceExhaustedError for a device OOM).
+        limit = DEFAULT_MAX_RESULTS if max_results is None else max_results
+        if over > capacity_per_device and int(counts.sum()) <= limit:
             out = run(over)
     return out
 

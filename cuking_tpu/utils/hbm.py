@@ -33,7 +33,12 @@ def device_bytes_limit(device=None) -> int | None:
     Env override ``CUKING_HBM_BYTES_LIMIT`` (raw bytes) wins when set."""
     env = os.environ.get("CUKING_HBM_BYTES_LIMIT")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            raise InvalidArgumentError(
+                f"CUKING_HBM_BYTES_LIMIT must be a raw byte count, got {env!r}"
+            )
     if device is None:
         import jax
 

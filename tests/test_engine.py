@@ -154,3 +154,16 @@ def test_no_self_pairs_and_strict_triangle():
                      site_chunk_words=16)
     rs = KingEngine.from_genotypes(g, cfg).run()
     assert (rs.i_idx < rs.j_idx).all()
+
+
+def test_every_step_hitting_with_bounded_deferral():
+    """All 136 panel-pair steps emit hits across 30+ batches: the bounded
+    deferred-fetch window must drain mid-sweep without losing or reordering
+    results (device memory stays bounded on hit-dense shards)."""
+    g = random_genotypes(256, 200, missing_rate=0.0, seed=29)
+    cfg = KingConfig(kin_threshold=-2.0, panel=16, kernel="matmul",
+                     site_chunk_words=16, sweep_batch=4)
+    engine = KingEngine.from_genotypes(g, cfg)
+    assert len(engine._panel_pair_params()) > 100
+    got = engine.run()
+    assert_resultsets_equal(got, oracle_resultset(g, -2.0))

@@ -121,3 +121,9 @@ def test_cli_oom_failure_is_actionable(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(str(tmp_path / "out.parquet"), "part-00000.snappy.parquet")
     )
+
+
+def test_malformed_env_limit_is_invalid_argument(monkeypatch):
+    monkeypatch.setenv("CUKING_HBM_BYTES_LIMIT", "14G")
+    with pytest.raises(InvalidArgumentError, match="raw byte count"):
+        device_bytes_limit()

@@ -303,3 +303,19 @@ def test_ring_global_max_results_enforced():
         ring_output_to_resultset(out, 10)
     with pytest.raises(ResourceExhaustedError, match="max_results"):
         ring_output_local_resultset(out, 10)
+
+
+def test_ring_auto_retry_without_explicit_max_results():
+    """Library default (max_results=None): overflow within the reference's
+    default budget still auto-retries and succeeds."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=34)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    out = all_pairs_sharded(
+        planes, 32, mesh, kernel, kin_threshold=-2.0, capacity_per_device=8,
+    )
+    got = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, -2.0)
+    assert len(exp) > 8
+    assert_resultsets_equal(got, exp)
