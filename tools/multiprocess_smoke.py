@@ -24,12 +24,19 @@ sys.path.insert(0, ".")
 
 NUM_PROCESSES = 2
 DEVICES_PER_PROCESS = 4
-PORT = 17713
 NUM_SAMPLES, NUM_SITES = 54, 400
 THRESHOLD = 0.05
 
 
-def worker(process_id: int, workdir: str) -> int:
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def worker(process_id: int, workdir: str, port: int) -> int:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
@@ -43,7 +50,7 @@ def worker(process_id: int, workdir: str) -> int:
     # do; cli.py --distributed detects the already-initialized runtime.  On
     # real TPU pod slices initialize() autodetects from TPU metadata instead.
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
+        coordinator_address=f"localhost:{port}",
         num_processes=NUM_PROCESSES,
         process_id=process_id,
     )
@@ -65,7 +72,11 @@ def worker(process_id: int, workdir: str) -> int:
 def main() -> int:
     if "--worker" in sys.argv:
         pid = int(sys.argv[sys.argv.index("--worker") + 1])
-        return worker(pid, sys.argv[sys.argv.index("--workdir") + 1])
+        return worker(
+            pid,
+            sys.argv[sys.argv.index("--workdir") + 1],
+            int(sys.argv[sys.argv.index("--port") + 1]),
+        )
 
     import numpy as np
 
@@ -82,9 +93,11 @@ def main() -> int:
     write_synthetic_input(storage, os.path.join(workdir, "in.parquet"), g)
     np.save(os.path.join(workdir, "genotypes.npy"), g)
 
+    port = _free_port()  # ephemeral: concurrent runs must not collide
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "--worker", str(i), "--workdir", workdir],
+            [sys.executable, __file__, "--worker", str(i),
+             "--workdir", workdir, "--port", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(NUM_PROCESSES)
