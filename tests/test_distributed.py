@@ -182,3 +182,30 @@ def test_cli_distributed_single_process(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(table.column("kin"), dtype=np.float32), exp.kin
     )
+
+
+def test_cli_capacity_per_device_flag(tmp_path):
+    """--capacity_per_device small enough to overflow: the ring auto-retries
+    at exact capacity and the run still matches the single-device output."""
+    from cuking_tpu import cli
+
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=47)
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    write_synthetic_input(storage, input_uri, g)
+
+    outs = {}
+    for name, extra in [
+        ("single", []),
+        ("tiny_cap", ["--use_mesh", "--capacity_per_device", "8"]),
+    ]:
+        out_uri = str(tmp_path / f"out_{name}.parquet")
+        rc = cli.main([
+            "--input_uri", input_uri, "--output_uri", out_uri,
+            "--kernel", "matmul", "--kin_threshold", "-2.0",
+            "--panel", "16", "--quiet"] + extra)
+        assert rc == 0, name
+        outs[name] = read_results_table(storage, out_uri)
+    assert outs["tiny_cap"].num_rows > 8  # capacity genuinely overflowed
+    assert outs["tiny_cap"].equals(outs["single"])
