@@ -71,17 +71,25 @@ def main():
     log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
 
     # Vary the threshold per run: the TPU runtime may cache identical
-    # (executable, args) executions, which would fake the timing.
-    iters = 3
-    thresholds = [0.9 + 1e-4 * k for k in range(1, iters + 1)]
-    t0 = time.perf_counter()
-    for thr in thresholds:
-        engine.config = dataclasses.replace(engine.config, kin_threshold=thr)
+    # (executable, args) executions, which would fake the timing.  Per-run
+    # times are kept and the MEDIAN is the headline: this host has one vCPU
+    # with a documented 10× noisy neighbor, so a single average cannot be
+    # told apart from host noise (VERDICT r2 weak #4).
+    iters = 5
+    sweep_runs = []
+    for k in range(1, iters + 1):
+        engine.config = dataclasses.replace(
+            engine.config, kin_threshold=0.9 + 1e-4 * k
+        )
+        t0 = time.perf_counter()
         engine.run()
-    dt = (time.perf_counter() - t0) / iters
+        sweep_runs.append(time.perf_counter() - t0)
+    dt = float(np.median(sweep_runs))
     unique_pairs = num_samples * (num_samples - 1) / 2
     pairs_per_sec = unique_pairs / dt
-    log(f"engine sweep: {dt*1e3:.1f} ms for {unique_pairs:.0f} pairs @ {num_sites} sites")
+    log(f"engine sweep: median {dt*1e3:.1f} ms over {iters} runs "
+        f"(min {min(sweep_runs)*1e3:.1f} / max {max(sweep_runs)*1e3:.1f}) "
+        f"for {unique_pairs:.0f} pairs @ {num_sites} sites")
 
     # Baseline: straightforward XLA popcount path (the direct translation of
     # the reference's per-pair popcount loop), one panel pair, fetch-forced
@@ -149,17 +157,21 @@ def main():
     engine.config = dataclasses.replace(
         engine.config, kin_threshold=0.0884, max_results=10 << 20
     )
-    rs = engine.run()  # warm-up (compiles the hit path + exact fallback)
-    t0 = time.perf_counter()
+    rs = engine.run()  # warm-up (compiles the single result fetch)
+    hitful_runs = []
     for k in range(1, iters + 1):
         engine.config = dataclasses.replace(
             engine.config, kin_threshold=0.0884 + 1e-5 * k
         )
+        t0 = time.perf_counter()
         rs = engine.run()
-    hitful_dt = (time.perf_counter() - t0) / iters
+        hitful_runs.append(time.perf_counter() - t0)
+    hitful_dt = float(np.median(hitful_runs))
     hitful_pairs_per_sec = unique_pairs / hitful_dt
-    log(f"hit-bearing sweep: {hitful_dt*1e3:.1f} ms, {len(rs)} hits "
-        f"(expected ~{n_hits_expected}) -> {hitful_pairs_per_sec/1e6:.0f} M pairs/s")
+    log(f"hit-bearing sweep: median {hitful_dt*1e3:.1f} ms over {iters} runs "
+        f"(min {min(hitful_runs)*1e3:.1f} / max {max(hitful_runs)*1e3:.1f}), "
+        f"{len(rs)} hits (expected ~{n_hits_expected}) -> "
+        f"{hitful_pairs_per_sec/1e6:.0f} M pairs/s")
 
     # (b) the mesh ring code path on this one chip (D=1: the sub-tiled
     # local-triangle phase over the whole cohort) — same pair work as the
@@ -222,18 +234,62 @@ def main():
     log(f"1M-site sweep: {dt_1m*1e3:.1f} ms for {pairs_1m:.0f} pairs "
         f"@ {num_sites_1m} sites -> {pairs_per_sec_1m/1e6:.0f} M pairs/s")
 
+    # (d) ingest throughput (VERDICT r2 #8): synthetic COO → bit-plane
+    # packing, the second-hottest loop (the cuking.cu:547-711 scatter
+    # analogue).  Best-of-3 — host timings on this 1-vCPU box are noisy.
+    from cuking_tpu.ops.bitset import allocate_planes, clear_bits_coo
+
+    n_ing_samples, n_entries = (2048, 4_000_000) if on_tpu else (64, 100_000)
+    ing_planes = allocate_planes(n_ing_samples, layout)
+    rng2 = np.random.default_rng(1)
+    ing_offs = rng2.integers(0, n_ing_samples, n_entries).astype(np.int64)
+    ing_sites = rng2.integers(0, num_sites, n_entries).astype(np.int64)
+    ing_nalt = rng2.integers(0, 3, n_entries).astype(np.int32)
+
+    def ingest_rate(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return n_entries / best
+
+    ingest_numpy = ingest_rate(lambda: clear_bits_coo(
+        ing_planes, layout, ing_offs, ing_sites, ing_nalt))
+    try:
+        from cuking_tpu.native import packer as native_packer
+
+        native_ok = native_packer.available()
+    except Exception:
+        native_ok = False
+    ingest_native = ingest_rate(lambda: native_packer.clear_bits(
+        ing_planes, layout, ing_offs, ing_sites, ing_nalt)) if native_ok else 0
+    log(f"ingest: native {ingest_native/1e6:.1f} M entries/s, "
+        f"numpy {ingest_numpy/1e6:.1f} M entries/s ({n_entries} entries)")
+
+    def ms(runs):
+        return [round(r * 1e3, 1) for r in runs]
+
     print(json.dumps({
         "metric": f"sample-pairs/sec/chip @ {num_sites} sites (KING kinship+IBS)",
         "value": round(pairs_per_sec),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / base_pairs_per_sec, 2),
         "diagnostics": {
+            "sweep_runs_ms": ms(sweep_runs),
+            "sweep_ms_min_median_max": [
+                round(min(sweep_runs) * 1e3, 1), round(dt * 1e3, 1),
+                round(max(sweep_runs) * 1e3, 1)],
             "pairs_per_sec_hitful_default_threshold": round(hitful_pairs_per_sec),
+            "hitful_runs_ms": ms(hitful_runs),
             "hits_emitted": len(rs),
             "pairs_per_sec_ring_path_1dev": round(ring_pairs_per_sec),
             "pairs_per_sec_1m_sites": round(pairs_per_sec_1m),
             "num_sites_1m": num_sites_1m,
             "popcount_baseline_pairs_per_sec": round(base_pairs_per_sec),
+            "ingest_entries_per_sec": round(max(ingest_native, ingest_numpy)),
+            "ingest_entries_per_sec_numpy": round(ingest_numpy),
+            "ingest_entries_per_sec_native": round(ingest_native),
         },
     }))
 

@@ -317,8 +317,17 @@ def run(args: argparse.Namespace) -> None:
         from cuking_tpu.parallel.ring import default_capacity_per_device
 
         n_dev = len(_jax.devices())
-        rows_per_device = -(-max(metadata.num_samples, 1) // n_dev)
+        # Mirror the row padding the sweep will actually apply: the
+        # non-distributed path shards PanelStorage planes whose rows are
+        # already padded to a panel multiple (all_pairs_sharded pads from
+        # max(num_samples, stored_rows)), so estimating from num_samples
+        # alone could pass a config that still OOMs by up to panel/n_dev
+        # rows per device.  HostShardedStorage pads only to row_multiple.
+        stored_rows = max(metadata.num_samples, 1)
+        if not args.distributed:
+            stored_rows = max(-(-stored_rows // panel), 1) * panel
         rm = _mesh_row_multiple(config)
+        rows_per_device = -(-stored_rows // n_dev)
         rows_per_device = -(-rows_per_device // rm) * rm
         check_ring_fit(
             metadata.num_samples, layout.words, rows_per_device,

@@ -160,10 +160,13 @@ def wait_for_completion(
 
     On ``SUCCEEDED`` writes an empty ``_SUCCESS`` sentinel object into the
     output directory (the merge-ready signal downstream pipelines gate on)
-    and returns the final state.  Any other non-active state (FAILED,
-    CANCELLED, DELETION_IN_PROGRESS, ...) returns without the sentinel — the
+    and returns the final state.  Any other non-active, non-transitional
+    state (FAILED, CANCELLED, ...) returns without the sentinel — the
     reference script only knows SUCCEEDED/FAILED, but library callers must
-    not poll a cancelled job forever.  ``max_polls`` bounds an unattended
+    not poll a cancelled job forever.  ``*_IN_PROGRESS`` states (e.g.
+    CANCELLATION_IN_PROGRESS) are transitional, not terminal: polling
+    continues until the control plane reports the state they resolve to, so
+    callers always receive a final state.  ``max_polls`` bounds an unattended
     caller even if the control plane keeps reporting an active state; its
     default budgets the job's maxRunDuration (pass ``max_run_duration_s`` to
     match a non-default ``render_batch_job``) plus 24 h of queue-time slack
@@ -177,7 +180,12 @@ def wait_for_completion(
             with Storage().open_write(uri) as f:
                 f.write(b"")
 
-    active_states = {"", "STATE_UNSPECIFIED", "QUEUED", "SCHEDULED", "RUNNING"}
+    active_states = {
+        "", "STATE_UNSPECIFIED", "QUEUED", "SCHEDULED", "RUNNING",
+        # Transitional: these resolve to CANCELLED / deletion shortly; keep
+        # polling so the caller gets the true final state.
+        "CANCELLATION_IN_PROGRESS", "DELETION_IN_PROGRESS",
+    }
     if max_polls is None:
         max_polls = (max_run_duration_s + 24 * 3600) // max(poll_interval_s, 1)
     for _ in range(max_polls):

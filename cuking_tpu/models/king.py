@@ -15,9 +15,13 @@ launch (cuking.cu:435-751), redesigned for XLA's compilation model:
   stored before the j-range (cuking.cu:171-175), each padded to a panel
   multiple with all-missing samples (padding self-masks: zero counters, NaN
   kin, masked by validity anyway).
-* Results: each step emits ≤ panel² hits compacted on device; the host
-  accumulates, enforces ``max_results`` globally (ResourceExhausted on
-  overflow, cuking.cu:747-751), and finally sorts by (i, j, kin)
+* Results: hits are compacted on device into ONE fixed-capacity buffer
+  carried across every step and batch of the sweep (the SPMD analogue of the
+  reference's single ``KingResult[max_results]`` array + atomicAdd slot
+  counter, cuking.cu:296-313, 713-723), and fetched ONCE after the sweep —
+  zero per-batch host transfers, so hit-bearing throughput matches hit-free.
+  ``max_results`` is enforced globally (ResourceExhausted on overflow,
+  cuking.cu:747-751) and the host finally sorts by (i, j, kin)
   (cuking.cu:761-765).
 """
 
@@ -36,7 +40,7 @@ from jax import lax
 
 from cuking_tpu.ops import bitset
 from cuking_tpu.ops.bitset import PlaneLayout
-from cuking_tpu.ops.compaction import scatter_hits
+from cuking_tpu.ops.compaction import FIELD_FILLS, accumulate_hits
 from cuking_tpu.ops.king_jnp import panel_counts_popcount
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.ops.king_mm import panel_counts_matmul
@@ -46,6 +50,12 @@ from cuking_tpu.utils.stopwatch import StageLogger
 
 DEFAULT_KIN_THRESHOLD = 0.0884  # 2nd degree or closer (cuking.cu:43-45)
 DEFAULT_MAX_RESULTS = 10 << 20  # cuking.cu:40-41
+# Default device-resident result-buffer slots (24 B each).  Smaller than
+# max_results so a hit-light sweep doesn't allocate the reference's full
+# 252 MiB up front; a sweep whose exact total lands in (capacity,
+# max_results] is re-run once at the next pow2 bucket (totals stay exact
+# past capacity, so nothing is lost — the ring path's proven design).
+DEFAULT_RESULT_CAPACITY = 1 << 20
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -67,7 +77,15 @@ class KingConfig:
     site_chunk_words: int = 128     # uint32 words per site-chunk in mm/pallas
     popcount_row_block: int = 8     # i-rows per popcount map step
     sweep_batch: int = 64           # panel-pair steps fused into one dispatch
+    result_capacity: int = 0        # device result-buffer slots (0 = auto)
     verbose: bool = False
+
+    def resolved_result_capacity(self) -> int:
+        """Initial device result-buffer capacity: the explicit knob, else
+        min(max_results, DEFAULT_RESULT_CAPACITY)."""
+        return self.result_capacity or max(
+            1, min(self.max_results, DEFAULT_RESULT_CAPACITY)
+        )
 
 
 @dataclass
@@ -98,19 +116,20 @@ class ResultSet:
         return cls(**{k: v[order] for k, v in fields.items()})
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _gather_hits(bufs, rows, n):
-    """Gathers hit-step buffers [6][batch, cap] at ``rows`` into one stacked
-    [6, len(rows), n] int32 array (kin bitcast) so the host pays a single
-    device→host transfer per batch instead of six per hit step."""
+@partial(jax.jit, static_argnums=(1,))
+def _slice_hits(bufs, n):
+    """Stacks the first ``n`` slots of the six result buffers into one
+    [6, n] int32 array (kin bitcast) so the host pays a SINGLE device→host
+    transfer for the whole sweep's results (six per-field fetches would cost
+    a host↔device round-trip each — ~25 ms through a TPU runtime)."""
     return jnp.stack(
         [
-            bufs[0][rows, :n],
-            bufs[1][rows, :n],
-            lax.bitcast_convert_type(bufs[2][rows, :n], jnp.int32),
-            bufs[3][rows, :n],
-            bufs[4][rows, :n],
-            bufs[5][rows, :n],
+            bufs[0][:n],
+            bufs[1][:n],
+            lax.bitcast_convert_type(bufs[2][:n], jnp.int32),
+            bufs[3][:n],
+            bufs[4][:n],
+            bufs[5][:n],
         ]
     )
 
@@ -277,15 +296,19 @@ class KingEngine:
     # -- the jitted batched sweep -------------------------------------------
     #
     # All panel-pair steps of one dispatch are fused into a lax.scan over a
-    # device-resident parameter array, so the host pays ONE dispatch + ONE
-    # fetch per batch instead of per step (host↔device latency through a TPU
-    # runtime is tens of ms; per-step syncs would dominate the ~6 ms kernel).
-    # Each step emits a small fixed-capacity hit buffer as a scan output;
-    # compaction is cond-gated so panels with zero hits (the overwhelming
-    # majority under a sane threshold) skip the scatter and only copy the
-    # small zero buffer.  A step whose hits overflow the per-step capacity is
-    # re-run through the exact fallback (capacity = panel², no loss) — the
-    # per-step totals are always exact, so overflow handling is exact too.
+    # device-resident parameter array, so the host pays ONE dispatch per
+    # batch (host↔device latency through a TPU runtime is tens of ms;
+    # per-step syncs would dominate the ~6 ms kernel).  Hits accumulate into
+    # one device-resident fixed-capacity buffer threaded through the scan
+    # carry AND across batch dispatches (donated, so XLA updates it in
+    # place) with a running-offset cursor — the reference's result model
+    # exactly (one preallocated array + a global slot counter,
+    # cuking.cu:296-313, 713-723).  The scatter is cond-gated so steps with
+    # zero hits (the overwhelming majority under a sane threshold) skip it.
+    # The running total stays exact past capacity, so a sweep whose total
+    # lands in (capacity, max_results] is re-run once at the next pow2
+    # bucket — overflow is recoverable, never silent (cuking.cu:747-751
+    # semantics apply only to max_results itself).
 
     def _pair_compute(self, planes, row):
         """Shared per-step compute: slice panels → counts → epilogue → mask."""
@@ -315,54 +338,51 @@ class KingEngine:
         return mask, (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
 
     def _build_sweep(self):
-        panel = self.config.panel
-        cap_step = int(min(panel * panel, 1 << 14))
-
-        def empty(_):
-            return (
-                jnp.full((cap_step,), -1, jnp.int32),
-                jnp.full((cap_step,), -1, jnp.int32),
-                jnp.zeros((cap_step,), jnp.float32),
-                jnp.zeros((cap_step,), jnp.int32),
-                jnp.zeros((cap_step,), jnp.int32),
-                jnp.zeros((cap_step,), jnp.int32),
-            )
-
-        def body(running, row):
-            def compute(_):
-                planes = self._planes_dev_ref[0]
-                mask, fields = self._pair_compute(planes, row)
-                total = jnp.sum(mask, dtype=jnp.int32)
-
-                def compact(_):
-                    return scatter_hits(mask, fields, cap_step)
-
-                return total, lax.cond(total > 0, compact, empty, None)
-
-            def skip(_):  # padding rows (ni_valid == 0): no kernel launch
-                return jnp.int32(0), empty(None)
-
-            total, bufs = lax.cond(row[4] > 0, compute, skip, None)
-            return running + total, (total, bufs)
-
-        def sweep(planes, params, threshold):
-            # Closure cells thread loop-invariant operands into the scan body
-            # without widening the carry.
-            self._planes_dev_ref[0] = planes
-            self._threshold_ref[0] = threshold
-            running, (totals, bufs) = lax.scan(body, jnp.int32(0), params)
-            return running, totals, bufs
-
-        def exact_step(planes, row, threshold):
-            """Fallback for a step with > cap_step hits: full capacity."""
-            self._planes_dev_ref[0] = planes
-            self._threshold_ref[0] = threshold
-            mask, fields = self._pair_compute(planes, row)
-            return scatter_hits(mask, fields, panel * panel)
-
+        """Per-capacity cache of the jitted accumulating sweep; the capacity
+        is a static shape, so each pow2 bucket compiles once."""
         self._planes_dev_ref = [None]
         self._threshold_ref = [None]
-        return jax.jit(sweep), jax.jit(exact_step), cap_step
+        return {}
+
+    def _get_sweep(self, capacity: int):
+        fn = self._sweep.get(capacity)
+        if fn is None:
+
+            def body(carry, row):
+                def compute(c):
+                    planes = self._planes_dev_ref[0]
+                    mask, fields = self._pair_compute(planes, row)
+                    return accumulate_hits(c[0], c[1], mask, fields, capacity)
+
+                def skip(c):  # padding rows (ni_valid == 0): no kernel launch
+                    return c
+
+                return lax.cond(row[4] > 0, compute, skip, carry), None
+
+            def sweep(planes, params, threshold, bufs, running):
+                # Closure cells thread loop-invariant operands into the scan
+                # body without widening the carry.
+                self._planes_dev_ref[0] = planes
+                self._threshold_ref[0] = threshold
+                (bufs, running), _ = lax.scan(body, (bufs, running), params)
+                return bufs, running
+
+            # The result buffers are donated: each batch dispatch updates
+            # them in place instead of copying ~capacity slots.  `running`
+            # is NOT donated — the driver keeps per-batch references for the
+            # lagged max_results check.
+            fn = jax.jit(sweep, donate_argnums=(3,))
+            self._sweep[capacity] = fn
+        return fn
+
+    @staticmethod
+    def _empty_buffers(capacity: int) -> tuple:
+        dtypes = (jnp.int32, jnp.int32, jnp.float32, jnp.int32, jnp.int32,
+                  jnp.int32)
+        return tuple(
+            jnp.full((capacity,), fill, dt)
+            for fill, dt in zip(FIELD_FILLS, dtypes)
+        )
 
     def _panel_pair_params(self) -> np.ndarray:
         """[num_steps, 6] int32 schedule: (i_off, j_off, gi_base, gj_base,
@@ -389,121 +409,95 @@ class KingEngine:
         """Sweeps all (i-panel, j-panel) pairs of the shard and returns the
         thresholded, sorted results."""
         cfg = self.config
+        capacity = cfg.resolved_result_capacity()
+        while True:
+            total, results = self._run_at_capacity(capacity)
+            if results is not None:
+                return results
+            # Exact total in (capacity, max_results]: re-run once at the
+            # next pow2 bucket (a compile-cache-friendly capacity key).
+            new_capacity = min(_ceil_pow2(total), cfg.max_results)
+            self.logger.print(
+                f"Result buffer overflowed ({total} hits > {capacity} "
+                f"slots); re-running at capacity {new_capacity}."
+            )
+            capacity = new_capacity
+
+    def _run_at_capacity(
+        self, capacity: int
+    ) -> tuple[int, ResultSet | None]:
+        """One full sweep at a fixed device result-buffer capacity.
+
+        Returns ``(total, results)``; ``results`` is None when the exact
+        total exceeded ``capacity`` while staying within ``max_results``
+        (the caller retries at a larger bucket).  A total beyond
+        ``max_results`` raises ResourceExhausted as soon as any batch's
+        running count crosses it — the sweep stops dispatching early
+        (cuking.cu:747-751 semantics, enforced mid-flight)."""
+        cfg = self.config
         st = self.storage
         planes_dev = self.planes_dev
         threshold = jnp.float32(cfg.kin_threshold)
-        sweep, exact_step, cap_step = self._sweep
+        sweep = self._get_sweep(capacity)
 
         params = self._panel_pair_params()
         num_steps = len(params)
         batch = cfg.sweep_batch
-        parts: list[ResultSet] = []
-        total = 0
         self.logger.begin(
             f"Running KING kernel for {st.nr} x {st.nc} matrix"
             f" ({num_steps} panel-pair steps)..."
         )
 
-        def fetch(bufs, count):
-            """Single-buffer fetch (exact-fallback path only)."""
-            n = min(_ceil_pow2(count), bufs[0].shape[-1])
-            return ResultSet(
-                i_idx=np.asarray(bufs[0][:n][:count]),
-                j_idx=np.asarray(bufs[1][:n][:count]),
-                kin=np.asarray(bufs[2][:n][:count]),
-                ibs0=np.asarray(bufs[3][:n][:count]),
-                ibs1=np.asarray(bufs[4][:n][:count]),
-                ibs2=np.asarray(bufs[5][:n][:count]),
-            )
-
-        def consume(entry) -> None:
-            nonlocal total
-            chunk_dev, (running, totals, bufs) = entry
-            count = int(running)
-            if count == 0:
-                return
-            total += count
-            if total > cfg.max_results:
-                # Enforced as soon as the running total crosses the cap —
-                # the sweep stops dispatching and host accumulation stays
-                # bounded, rather than buffering every hit first (the
-                # reference's preallocated buffer caps memory by
-                # construction, cuking.cu:713-718, 747-751).
+        def check_limit(count: int) -> None:
+            if count > cfg.max_results:
                 raise ResourceExhaustedError(
                     "Could not store all results: try increasing the "
                     "--max_results parameter."
                 )
-            per_step = np.asarray(totals)
-            hit_rows = np.nonzero(per_step)[0]
-            fast = hit_rows[per_step[hit_rows] <= cap_step]
-            if len(fast):
-                # One device gather + ONE host transfer for every hit step in
-                # the batch: six per-field fetches per step would cost a
-                # host↔device round-trip each (~25 ms through a TPU runtime —
-                # they dominated hit-bearing sweeps before this batching).
-                # The copy is started asynchronously and materialized after
-                # the sweep loop, so it overlaps later batches' compute.
-                n = min(_ceil_pow2(int(per_step[fast].max())), cap_step)
-                k_pad = _ceil_pow2(len(fast))
-                rows = np.full(k_pad, fast[0], np.int32)
-                rows[: len(fast)] = fast
-                arr_dev = _gather_hits(bufs, jnp.asarray(rows), n)
-                try:
-                    arr_dev.copy_to_host_async()
-                except Exception:
-                    pass
-                deferred.append((arr_dev, fast, per_step))
-                # Bound the deferral window: each gathered array is up to
-                # ~25 MiB of HBM, and a hit-dense shard can have hundreds of
-                # hit batches — unbounded deferral would re-create the
-                # memory blowup the dispatch window exists to prevent.
-                if len(deferred) > 8:
-                    materialize(*deferred.pop(0))
-            for k in hit_rows[per_step[hit_rows] > cap_step]:
-                # Rare: this step alone exceeded the fast-path buffer —
-                # recompute it at full panel² capacity (exact).
-                full = exact_step(planes_dev, chunk_dev[int(k)], threshold)
-                parts.append(fetch(full, int(per_step[k])))
 
-        def materialize(arr_dev, fast, per_step) -> None:
-            arr = np.asarray(arr_dev)
-            for idx, k in enumerate(fast):
-                c = int(per_step[k])
-                parts.append(
-                    ResultSet(
-                        i_idx=arr[0, idx, :c],
-                        j_idx=arr[1, idx, :c],
-                        kin=arr[2, idx, :c].view(np.float32),
-                        ibs0=arr[3, idx, :c],
-                        ibs1=arr[4, idx, :c],
-                        ibs2=arr[5, idx, :c],
-                    )
-                )
-
-        # Dispatch batches asynchronously so host↔device round-trips don't
-        # serialize the device work, but bound the in-flight window: each
-        # batch's scan outputs hold six [batch, cap_step] device buffers
-        # (~25 MiB at defaults), and a large shard has thousands of batches —
-        # unbounded dispatch would accumulate all of them in HBM alongside
-        # the planes.
+        bufs = self._empty_buffers(capacity)
+        running = jnp.int32(0)
+        # Dispatches are asynchronous; the max_results check lags `window`
+        # batches behind so the scalar count fetch (a host↔device round
+        # trip) overlaps later batches' device work instead of serializing
+        # the sweep.  Result buffers live on device throughout — there is
+        # nothing else to fetch per batch.
         window = 4
         pending: deque = deque()
-        deferred: list = []
         for lo in range(0, num_steps, batch):
             chunk = params[lo : lo + batch]
             if len(chunk) < batch:
                 # Pad with no-op rows (zero valid samples → skipped on device).
                 pad = np.zeros((batch - len(chunk), 6), np.int32)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            chunk_dev = jnp.asarray(chunk)
-            pending.append((chunk_dev, sweep(planes_dev, chunk_dev, threshold)))
+            bufs, running = sweep(
+                planes_dev, jnp.asarray(chunk), threshold, bufs, running
+            )
+            pending.append(running)
             if len(pending) >= window:
-                consume(pending.popleft())
+                check_limit(int(pending.popleft()))
         while pending:
-            consume(pending.popleft())
-        for entry in deferred:
-            materialize(*entry)
+            check_limit(int(pending.popleft()))
+        total = int(running)
         self.logger.end("king_kernel")
 
+        if total > capacity:
+            return total, None
         self.logger.print(f"Processing {total} results...")
-        return ResultSet.concat_and_sort(parts)
+        if total == 0:
+            return 0, ResultSet.concat_and_sort([])
+        # ONE stacked device→host transfer for the whole sweep's results,
+        # pow2-bucketed so repeated runs with similar hit counts reuse the
+        # compiled slice (the reference reads its device-resident buffer
+        # once here too, cuking.cu:713-723, 757-765).
+        n = min(_ceil_pow2(total), capacity)
+        arr = np.asarray(_slice_hits(bufs, n))
+        part = ResultSet(
+            i_idx=arr[0, :total],
+            j_idx=arr[1, :total],
+            kin=arr[2, :total].view(np.float32),
+            ibs0=arr[3, :total],
+            ibs1=arr[4, :total],
+            ibs2=arr[5, :total],
+        )
+        return total, ResultSet.concat_and_sort([part])

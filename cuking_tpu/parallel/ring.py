@@ -57,6 +57,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuking_tpu.models.king import DEFAULT_MAX_RESULTS, ResultSet
+from cuking_tpu.ops.compaction import accumulate_hits
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.utils.status import ResourceExhaustedError
 
@@ -162,33 +163,17 @@ def _ring_fn(
             & (gj[None, :] < num_samples)
             & (res.kin > threshold)
         )
-        flat = mask.ravel()
-        nhits = jnp.sum(flat, dtype=jnp.int32)
-
-        def scatter(out):
-            # TPU scatters are expensive (p² updates into the device buffer);
-            # only hit-bearing sub-tiles pay — the cond skips the scatter AND
-            # the cumsum for the overwhelmingly common zero-hit sub-tile
-            # (measured 28× end-to-end on a v5e without the gate).  Dropped
-            # lanes get DISTINCT out-of-bounds indices so the
-            # unique_indices promise holds literally, not just post-drop.
-            pos = running + jnp.cumsum(flat, dtype=jnp.int32) - 1
-            pos = jnp.where(
-                flat, pos,
-                capacity + jnp.arange(flat.size, dtype=jnp.int32),
-            )
-            gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
-            gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
-            io = jnp.minimum(gi2, gj2)
-            jo = jnp.maximum(gi2, gj2)
-            fields = (io, jo, res.kin, res.ibs0, res.ibs1, res.ibs2)
-            return tuple(
-                o.at[pos].set(f.ravel(), mode="drop", unique_indices=True)
-                for o, f in zip(out, fields)
-            )
-
-        out = lax.cond(nhits > 0, scatter, lambda o: o, out)
-        return out, running + nhits
+        # TPU scatters are expensive (p² updates into the device buffer);
+        # accumulate_hits cond-gates so only hit-bearing sub-tiles pay
+        # (measured 28× end-to-end on a v5e without the gate), and its
+        # position scheme keeps the unique_indices promise literal even
+        # when `running` has overflowed capacity (the auto-retry case).
+        gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
+        gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
+        io = jnp.minimum(gi2, gj2)
+        jo = jnp.maximum(gi2, gj2)
+        fields = (io, jo, res.kin, res.ibs0, res.ibs1, res.ibs2)
+        return accumulate_hits(out, running, mask, fields, capacity)
 
     def slice_rows(planes, k):
         return lax.dynamic_slice(planes, (0, k * p, 0), (2, p, words))
@@ -399,7 +384,13 @@ def all_pairs_presharded(
         # device and trade a clean ResourceExhaustedError for a device OOM).
         limit = DEFAULT_MAX_RESULTS if max_results is None else max_results
         if over > capacity_per_device and int(counts.sum()) <= limit:
-            out = run(over)
+            # Bucket the retry capacity to the next power of two (≤ the
+            # global limit): `capacity` is a compile-cache key, and retrying
+            # at the exact overflow count would retrace + recompile for every
+            # distinct skew (~2 min cold on a TPU).  Bucketed, all skews in
+            # the same pow2 bracket share one compiled sweep.
+            bucket = 1 << (over - 1).bit_length()
+            out = run(min(bucket, limit))
     return out
 
 

@@ -78,14 +78,18 @@ def shard_plane_bytes(
 
 
 def sweep_buffer_bytes(config) -> int:
-    """Device bytes for the engine sweep's bounded in-flight window: six
-    per-step hit buffers per batch (models/king.py window=4) plus the
-    double-buffered per-step counter/epilogue transients."""
-    cap_step = int(min(config.panel * config.panel, 1 << 14))
+    """Device bytes for the engine sweep's result accumulation: ONE
+    device-resident six-field hit buffer carried across all batches
+    (models/king.py, donated in place — there are no per-batch buffers any
+    more) plus the double-buffered per-step counter/epilogue transients.
+    Sized at max_results — the worst capacity the pow2-bucketed overflow
+    retry can grow the buffer to — so an up-front pass guarantees the retry
+    fits too."""
     per_slot = 6 * 4  # i/j idx i32, kin f32, ibs0/1/2 i32
-    in_flight = 4 * config.sweep_batch * cap_step * per_slot
+    worst_capacity = max(config.resolved_result_capacity(), config.max_results)
+    result_buffer = worst_capacity * per_slot
     transients = 2 * 7 * config.panel * config.panel * 4
-    return in_flight + transients
+    return result_buffer + transients
 
 
 def engine_plane_bytes(submatrix, words: int, panel: int) -> int:

@@ -103,22 +103,42 @@ def test_wait_for_completion_failed_means_no_sentinel():
 
 
 def test_wait_for_completion_other_terminal_states_end_polling():
-    """CANCELLED / DELETION_IN_PROGRESS must not poll forever (the reference
-    script only knows SUCCEEDED/FAILED; library callers need all terminal
-    states handled)."""
-    for terminal in ("CANCELLED", "DELETION_IN_PROGRESS", "CANCELLATION_IN_PROGRESS"):
-        sentinels = []
-        state = wait_for_completion(
-            "cuking-x",
-            location="us-central1",
-            output_uri="gs://b/out",
-            runner=lambda cmd: json.dumps({"status": {"state": terminal}}),
-            sleep=lambda s: pytest.fail("should not sleep after terminal state"),
-            write_sentinel=sentinels.append,
-            log=lambda *_: None,
-        )
-        assert state == terminal
-        assert sentinels == []
+    """CANCELLED must not poll forever (the reference script only knows
+    SUCCEEDED/FAILED; library callers need all terminal states handled)."""
+    sentinels = []
+    state = wait_for_completion(
+        "cuking-x",
+        location="us-central1",
+        output_uri="gs://b/out",
+        runner=lambda cmd: json.dumps({"status": {"state": "CANCELLED"}}),
+        sleep=lambda s: pytest.fail("should not sleep after terminal state"),
+        write_sentinel=sentinels.append,
+        log=lambda *_: None,
+    )
+    assert state == "CANCELLED"
+    assert sentinels == []
+
+
+def test_wait_for_completion_transitional_states_keep_polling():
+    """CANCELLATION_IN_PROGRESS / DELETION_IN_PROGRESS are transitional, not
+    terminal: polling continues until they resolve, so the caller always
+    receives a final state (ADVICE r2)."""
+    states = iter(
+        ["RUNNING", "CANCELLATION_IN_PROGRESS", "DELETION_IN_PROGRESS",
+         "CANCELLED"]
+    )
+    sentinels = []
+    state = wait_for_completion(
+        "cuking-x",
+        location="us-central1",
+        output_uri="gs://b/out",
+        runner=lambda cmd: json.dumps({"status": {"state": next(states)}}),
+        sleep=lambda s: None,
+        write_sentinel=sentinels.append,
+        log=lambda *_: None,
+    )
+    assert state == "CANCELLED"
+    assert sentinels == []
 
 
 def test_wait_for_completion_poll_deadline():

