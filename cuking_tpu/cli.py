@@ -71,9 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--panel", type=int, default=1024,
                    help="Samples per panel (pair-tile edge) in the jitted sweep")
     p.add_argument("--use_mesh", action="store_true", help=(
-        "Run the whole matrix data-parallel over all local JAX devices via "
-        "the shard_map ring exchange (requires --split_factor=1; replaces "
-        "the reference's share-nothing multi-GPU fan-out)"))
+        "Run this shard data-parallel over all local JAX devices via the "
+        "shard_map ring exchange (composes with --split_factor for cohorts "
+        "larger than slice HBM; replaces the reference's share-nothing "
+        "multi-GPU fan-out)"))
     p.add_argument("--distributed", action="store_true", help=(
         "Multi-host TPU pod slice: jax.distributed.initialize(), mesh over "
         "ALL chips in the slice; every host ingests the inputs and writes "
@@ -108,10 +109,10 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     from cuking_tpu.parallel.distributed import HostShardedStorage
     from cuking_tpu.parallel.ring import (
         all_pairs_presharded,
-        all_pairs_sharded,
         default_capacity_per_device,
         ring_output_local_resultset,
         ring_output_to_resultset,
+        submatrix_pairs_sharded,
     )
 
     mesh = _make_mesh()
@@ -136,9 +137,11 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             row_multiple=_mesh_row_multiple(config),
         )
     else:
-        out = all_pairs_sharded(
-            panel_storage.planes,
-            metadata.num_samples,
+        # Ring sweep of THIS shard (any --split_factor): a diagonal shard
+        # runs the triangular ring at its global row offset, an
+        # off-diagonal shard the rectangular j-rotating ring.
+        out = submatrix_pairs_sharded(
+            panel_storage,
             mesh,
             _resolve_kernel(config),
             kin_threshold=args.kin_threshold,
@@ -210,10 +213,11 @@ def run(args: argparse.Namespace) -> None:
         raise InvalidArgumentError("Invalid shard index")
     if args.distributed:
         args.use_mesh = True
-    if args.use_mesh and args.split_factor != 1:
+    if args.distributed and args.split_factor != 1:
         raise InvalidArgumentError(
-            "--use_mesh processes the whole matrix on one device mesh; "
-            "combine it with --split_factor=1"
+            "--distributed shards ingest by host across the whole cohort; "
+            "combine it with --split_factor=1 (single-process --use_mesh "
+            "composes with --split_factor)"
         )
 
     logger = StageLogger(enabled=not args.quiet)
@@ -317,24 +321,28 @@ def run(args: argparse.Namespace) -> None:
         from cuking_tpu.parallel.ring import default_capacity_per_device
 
         n_dev = len(_jax.devices())
-        # Mirror the row padding the sweep will actually apply: the
-        # non-distributed path shards PanelStorage planes whose rows are
-        # already padded to a panel multiple (all_pairs_sharded pads from
-        # max(num_samples, stored_rows)), so estimating from num_samples
-        # alone could pass a config that still OOMs by up to panel/n_dev
-        # rows per device.  HostShardedStorage pads only to row_multiple.
-        stored_rows = max(metadata.num_samples, 1)
-        if not args.distributed:
-            stored_rows = max(-(-stored_rows // panel), 1) * panel
         rm = _mesh_row_multiple(config)
-        rows_per_device = -(-stored_rows // n_dev)
-        rows_per_device = -(-rows_per_device // rm) * rm
-        check_ring_fit(
-            metadata.num_samples, layout.words, rows_per_device,
-            args.capacity_per_device
-            or default_capacity_per_device(args.max_results, n_dev),
-            n_dev,
+        capacity = args.capacity_per_device or default_capacity_per_device(
+            args.max_results, n_dev
         )
+        if args.distributed:
+            # HostShardedStorage pads only to the row multiple (no panel
+            # padding); whole-cohort triangular ring.
+            rows_per_device = -(-max(metadata.num_samples, 1) // n_dev)
+            rows_per_device = -(-rows_per_device // rm) * rm
+            check_ring_fit(
+                metadata.num_samples, layout.words, rows_per_device,
+                capacity, n_dev,
+            )
+        else:
+            # Per-shard model mirroring PanelStorage's panel padding; on
+            # overflow the error names the minimal --split_factor that fits
+            # (it composes with --use_mesh).
+            check_ring_fit(
+                metadata.num_samples, layout.words, 0, capacity, n_dev,
+                submatrix=submatrix, panel=panel, row_multiple=rm,
+                split_factor=args.split_factor,
+            )
     else:
         check_engine_fit(
             metadata.num_samples, layout.words, submatrix, config,

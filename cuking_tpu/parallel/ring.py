@@ -129,6 +129,7 @@ def _ring_fn(
     num_samples: int,
     capacity: int,
     sub_panel: int | None = None,
+    row_offset: int = 0,
 ):
     """Per-device SPMD body.  The nd×nd pair block of each ring step is
     processed in ``sub_panel``-sized sub-tiles (an inner lax.scan), so
@@ -142,7 +143,12 @@ def _ring_fn(
     assert nd % p == 0, (nd, p)
     ns = nd // p
     me = lax.axis_index(AXIS)
-    gi0 = me * nd
+    # ``row_offset`` shifts emitted indices into global coordinates when the
+    # ring sweeps one diagonal Submatrix block of a --split_factor run
+    # (cuking.cu:129-179): sample r of the block is global row_offset + r,
+    # and ``num_samples`` counts the BLOCK's samples.
+    gi0 = row_offset + me * nd
+    row_limit = row_offset + num_samples
     local = jnp.arange(p, dtype=jnp.int32)
     # Backwards rotation: device d receives from d+1, so after t hops device
     # d holds the panel of block (d + t) mod D.
@@ -159,8 +165,8 @@ def _ring_fn(
         gj = gj_base + local
         mask = (
             (~same | (gi[:, None] < gj[None, :]))
-            & (gi[:, None] < num_samples)
-            & (gj[None, :] < num_samples)
+            & (gi[:, None] < row_limit)
+            & (gj[None, :] < row_limit)
             & (res.kin > threshold)
         )
         # TPU scatters are expensive (p² updates into the device buffer);
@@ -236,7 +242,7 @@ def _ring_fn(
             )
             return emit(
                 out2, running2, counts,
-                gi0 + ii * p, owner * nd + jj * p,
+                gi0 + ii * p, row_offset + owner * nd + jj * p,
                 jnp.bool_(False),
             ), None
 
@@ -292,6 +298,110 @@ def _ring_fn(
     )
 
 
+def _rect_ring_fn(
+    local_i: jnp.ndarray,   # [2, nd_i, W] this device's shard of the i-rows
+    local_j: jnp.ndarray,   # [2, nd_j, W] this device's shard of the j-cols
+    threshold: jnp.ndarray,
+    *,
+    kernel: Callable,
+    num_devices: int,
+    i_offset: int,
+    i_count: int,
+    j_offset: int,
+    j_count: int,
+    capacity: int,
+    sub_panel_i: int | None,
+    sub_panel_j: int | None,
+):
+    """Per-device SPMD body for an OFF-DIAGONAL Submatrix shard: every pair
+    (r, c) with r in the shard's row block and c in its column block
+    (cuking.cu:158-175 — off-diagonal shards hold two disjoint ranges, so
+    every cross pair is valid, no triangle masking).
+
+    Both ranges are sharded over the mesh's sample axis; the j shard rides
+    the ring (``ppermute``) while the i shard stays resident, so after D
+    steps every device has seen every j block: D · (nd_i × nd_j) pair tiles
+    per device, identical on every device — trivially perfect balance, and
+    each block pair computed exactly once.  The rotation for step t+1 is
+    issued before step t's compute consumes the buffer, overlapping ICI
+    with the MXU like the triangular ring."""
+    nd_i, nd_j = local_i.shape[1], local_j.shape[1]
+    words = local_i.shape[2]
+    p_i = sub_panel_i or nd_i
+    p_j = sub_panel_j or nd_j
+    assert nd_i % p_i == 0 and nd_j % p_j == 0, (nd_i, p_i, nd_j, p_j)
+    me = lax.axis_index(AXIS)
+    gi0 = i_offset + me * nd_i
+    i_limit = i_offset + i_count
+    j_limit = j_offset + j_count
+    local_i_idx = jnp.arange(p_i, dtype=jnp.int32)
+    local_j_idx = jnp.arange(p_j, dtype=jnp.int32)
+    perm = [(d, (d - 1) % num_devices) for d in range(num_devices)]
+
+    def emit(out, running, counts, gi_base, gj_base):
+        res = king_from_counts(counts)
+        gi = gi_base + local_i_idx
+        gj = gj_base + local_j_idx
+        mask = (
+            (gi[:, None] < i_limit)
+            & (gj[None, :] < j_limit)
+            & (res.kin > threshold)
+        )
+        # i-block rows precede j-block cols globally (bi < bj), so (gi, gj)
+        # is already the canonical (min, max) orientation.
+        gi2 = jnp.broadcast_to(gi[:, None], mask.shape)
+        gj2 = jnp.broadcast_to(gj[None, :], mask.shape)
+        fields = (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
+        return accumulate_hits(out, running, mask, fields, capacity)
+
+    out0 = (
+        jnp.full((capacity,), -1, jnp.int32),
+        jnp.full((capacity,), -1, jnp.int32),
+        jnp.zeros((capacity,), jnp.float32),
+        jnp.zeros((capacity,), jnp.int32),
+        jnp.zeros((capacity,), jnp.int32),
+        jnp.zeros((capacity,), jnp.int32),
+    )
+    grid_pairs = jnp.asarray(
+        [(ii, jj) for ii in range(nd_i // p_i) for jj in range(nd_j // p_j)],
+        jnp.int32,
+    ).reshape(-1, 2)
+
+    def sub_body(buf, owner):
+        def go(carry, pair):
+            out2, running2 = carry
+            ii, jj = pair[0], pair[1]
+            counts = kernel(
+                lax.dynamic_slice(local_i, (0, ii * p_i, 0), (2, p_i, words)),
+                lax.dynamic_slice(buf, (0, jj * p_j, 0), (2, p_j, words)),
+                jnp.int32(0),
+            )
+            return emit(
+                out2, running2, counts,
+                gi0 + ii * p_i, j_offset + owner * nd_j + jj * p_j,
+            ), None
+
+        return go
+
+    def body(carry, t):
+        buf, out, running = carry
+        nxt = lax.ppermute(buf, AXIS, perm=perm) if num_devices > 1 else buf
+        owner = (me + t) % num_devices
+        (out, running), _ = lax.scan(
+            sub_body(buf, owner), (out, running), grid_pairs
+        )
+        return (nxt, out, running), None
+
+    (buf, out, running), _ = lax.scan(
+        body, (local_j, out0, jnp.int32(0)),
+        jnp.arange(num_devices, dtype=jnp.int32),
+    )
+    return RingOutput(
+        i_idx=out[0], j_idx=out[1], kin=out[2], ibs0=out[3], ibs1=out[4],
+        ibs2=out[5], counts=running[None],
+    )
+
+
 def all_pairs_sharded(
     planes: np.ndarray | jnp.ndarray,  # [2, N_stored, W] host or device
     num_samples: int,
@@ -304,6 +414,7 @@ def all_pairs_sharded(
     max_results: int | None = None,
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
+    row_offset: int = 0,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
@@ -333,6 +444,7 @@ def all_pairs_sharded(
         kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
         max_results=max_results, auto_retry=auto_retry,
         sub_panel=sub_panel, row_multiple=row_multiple,
+        row_offset=row_offset,
     )
 
 
@@ -348,6 +460,7 @@ def all_pairs_presharded(
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
     row_multiple: int = 1,
+    row_offset: int = 0,
 ) -> RingOutput:
     """Ring sweep over an ALREADY sample-sharded global plane array.
 
@@ -369,36 +482,157 @@ def all_pairs_presharded(
 
     def run(capacity: int) -> RingOutput:
         fn = _compiled_ring(
-            kernel, mesh, num_devices, num_samples, capacity, p
+            kernel, mesh, num_devices, num_samples, capacity, p, row_offset
         )
         return fn(planes_sharded, jnp.float32(kin_threshold))
 
+    return _run_with_retry(run, capacity_per_device, max_results, auto_retry)
+
+
+def _run_with_retry(
+    run: Callable[[int], RingOutput],
+    capacity_per_device: int,
+    max_results: int | None,
+    auto_retry: bool,
+) -> RingOutput:
+    """Shared overflow auto-retry: per-device totals are exact past
+    capacity, so a buffer overflow is re-run once at a bigger capacity —
+    but only when the run is going to SUCCEED: the global total must be
+    within max_results (the reference's semantic, cuking.cu:747-751; its
+    own default when the caller gave none — retrying an unbounded
+    keep-everything run would allocate `over` slots per device and trade a
+    clean ResourceExhaustedError for a device OOM).  The retry capacity is
+    bucketed to the next power of two (≤ the global limit): `capacity` is
+    a compile-cache key, and retrying at the exact overflow count would
+    retrace + recompile for every distinct skew (~2 min cold on a TPU)."""
     out = run(capacity_per_device)
     if auto_retry:
         counts = ring_global_counts(out)
         over = int(counts.max(initial=0))
-        # Retry only when the run is going to SUCCEED at the exact capacity:
-        # the global total must be within max_results (the reference's
-        # semantic; its own default when the caller gave none — retrying an
-        # unbounded keep-everything run would allocate `over` slots per
-        # device and trade a clean ResourceExhaustedError for a device OOM).
         limit = DEFAULT_MAX_RESULTS if max_results is None else max_results
         if over > capacity_per_device and int(counts.sum()) <= limit:
-            # Bucket the retry capacity to the next power of two (≤ the
-            # global limit): `capacity` is a compile-cache key, and retrying
-            # at the exact overflow count would retrace + recompile for every
-            # distinct skew (~2 min cold on a TPU).  Bucketed, all skews in
-            # the same pow2 bracket share one compiled sweep.
             bucket = 1 << (over - 1).bit_length()
             out = run(min(bucket, limit))
     return out
 
 
+def rect_pairs_sharded(
+    planes_i: np.ndarray | jnp.ndarray,  # [2, rows_stored, W] i-range rows
+    planes_j: np.ndarray | jnp.ndarray,  # [2, cols_stored, W] j-range rows
+    i_count: int,
+    j_count: int,
+    mesh: Mesh,
+    kernel: Callable,
+    *,
+    i_offset: int,
+    j_offset: int,
+    kin_threshold: float,
+    capacity_per_device: int = 1 << 20,
+    row_multiple: int = 1,
+    max_results: int | None = None,
+    auto_retry: bool = True,
+    sub_panel: int | None = 1024,
+) -> RingOutput:
+    """Ring sweep of an OFF-DIAGONAL Submatrix shard over the mesh: all
+    pairs (r, c), r in the i-range, c in the j-range (disjoint global
+    ranges, cuking.cu:158-175).  Both ranges are sharded over the sample
+    axis; j-blocks rotate around the ring.  Composes --split_factor with
+    --use_mesh: each device holds 2/k'th of a split-k cohort's panel
+    instead of the whole cohort's share — the reference's memory-relief
+    axis (README.md:94-102) applied to the pod-slice path."""
+    num_devices = mesh.devices.size
+
+    def pad_to_mesh(planes, count):
+        n = planes.shape[1]
+        nd = -(-max(count, n, 1) // num_devices)
+        nd = -(-nd // row_multiple) * row_multiple
+        n_pad = nd * num_devices
+        if n < n_pad:
+            pad = np.full(
+                (2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32
+            )
+            planes = np.concatenate([np.asarray(planes), pad], axis=1)
+        sharding = NamedSharding(mesh, P(None, AXIS, None))
+        return jax.device_put(np.asarray(planes), sharding), nd
+
+    pi_sharded, nd_i = pad_to_mesh(planes_i, i_count)
+    pj_sharded, nd_j = pad_to_mesh(planes_j, j_count)
+    p_i = _choose_sub_panel(nd_i, sub_panel, row_multiple) if sub_panel else None
+    p_j = _choose_sub_panel(nd_j, sub_panel, row_multiple) if sub_panel else None
+
+    def run(capacity: int) -> RingOutput:
+        fn = _compiled_rect_ring(
+            kernel, mesh, num_devices, i_offset, i_count, j_offset, j_count,
+            capacity, p_i, p_j,
+        )
+        return fn(pi_sharded, pj_sharded, jnp.float32(kin_threshold))
+
+    return _run_with_retry(run, capacity_per_device, max_results, auto_retry)
+
+
+def submatrix_pairs_sharded(
+    storage,  # PanelStorage holding one shard's i-range (+ j-range) planes
+    mesh: Mesh,
+    kernel: Callable,
+    *,
+    kin_threshold: float,
+    capacity_per_device: int = 1 << 20,
+    row_multiple: int = 1,
+    max_results: int | None = None,
+    auto_retry: bool = True,
+    sub_panel: int | None = 1024,
+) -> RingOutput:
+    """Sweeps ONE Submatrix shard (any split_factor) over the mesh ring:
+    a diagonal shard is the balanced triangular ring over its block with a
+    global row offset; an off-diagonal shard is the rectangular j-rotating
+    ring.  Input is the engine's own PanelStorage (i-range rows stored
+    before the j-range, cuking.cu:171-175), so CLI ingest is shared."""
+    sm = storage.submatrix
+    if sm.is_diagonal:
+        return all_pairs_sharded(
+            storage.planes,
+            sm.num_rows,
+            mesh,
+            kernel,
+            kin_threshold=kin_threshold,
+            capacity_per_device=capacity_per_device,
+            row_multiple=row_multiple,
+            max_results=max_results,
+            auto_retry=auto_retry,
+            sub_panel=sub_panel,
+            row_offset=sm.i_begin,
+        )
+    return rect_pairs_sharded(
+        storage.planes[:, : storage.j_store_base],
+        storage.planes[:, storage.j_store_base :],
+        sm.num_rows,
+        sm.num_cols,
+        mesh,
+        kernel,
+        i_offset=sm.i_begin,
+        j_offset=sm.j_begin,
+        kin_threshold=kin_threshold,
+        capacity_per_device=capacity_per_device,
+        row_multiple=row_multiple,
+        max_results=max_results,
+        auto_retry=auto_retry,
+        sub_panel=sub_panel,
+    )
+
+
 from functools import lru_cache
 
 
+_RING_OUT_SPECS = RingOutput(
+    i_idx=P(AXIS), j_idx=P(AXIS), kin=P(AXIS), ibs0=P(AXIS),
+    ibs1=P(AXIS), ibs2=P(AXIS), counts=P(AXIS),
+)
+
+
 @lru_cache(maxsize=32)
-def _compiled_ring(kernel, mesh, num_devices, num_samples, capacity, sub_panel):
+def _compiled_ring(
+    kernel, mesh, num_devices, num_samples, capacity, sub_panel, row_offset
+):
     """Jitted shard_map sweep, cached so repeated invocations (retries, CLI
     re-runs, benchmarks) skip re-tracing the whole sub-tiled scan — tracing a
     100+-step scan costs hundreds of host milliseconds per call otherwise.
@@ -412,13 +646,37 @@ def _compiled_ring(kernel, mesh, num_devices, num_samples, capacity, sub_panel):
             num_samples=num_samples,
             capacity=capacity,
             sub_panel=sub_panel,
+            row_offset=row_offset,
         ),
         mesh=mesh,
         in_specs=(P(None, AXIS, None), P()),
-        out_specs=RingOutput(
-            i_idx=P(AXIS), j_idx=P(AXIS), kin=P(AXIS), ibs0=P(AXIS),
-            ibs1=P(AXIS), ibs2=P(AXIS), counts=P(AXIS),
+        out_specs=_RING_OUT_SPECS,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=32)
+def _compiled_rect_ring(
+    kernel, mesh, num_devices, i_offset, i_count, j_offset, j_count,
+    capacity, sub_panel_i, sub_panel_j,
+):
+    fn = jax.shard_map(
+        partial(
+            _rect_ring_fn,
+            kernel=kernel,
+            num_devices=num_devices,
+            i_offset=i_offset,
+            i_count=i_count,
+            j_offset=j_offset,
+            j_count=j_count,
+            capacity=capacity,
+            sub_panel_i=sub_panel_i,
+            sub_panel_j=sub_panel_j,
         ),
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P()),
+        out_specs=_RING_OUT_SPECS,
         check_vma=False,
     )
     return jax.jit(fn)

@@ -136,6 +136,55 @@ def check_engine_fit(
     )
 
 
+def ring_rows_per_device(
+    rows: int, panel: int, row_multiple: int, num_devices: int
+) -> int:
+    """Per-device row count the ring will actually use for a range of
+    ``rows`` samples: panel-padded storage rows (PanelStorage layout) split
+    over the mesh, rounded to the kernel's tile multiple — mirroring
+    all_pairs_sharded/rect_pairs_sharded padding exactly."""
+    padded = _ceil_to(max(rows, 1), panel)
+    nd = -(-padded // num_devices)
+    return _ceil_to(nd, row_multiple)
+
+
+def ring_shard_bytes(
+    num_rows: int,
+    num_cols: int,
+    is_diagonal: bool,
+    words: int,
+    panel: int,
+    row_multiple: int,
+    num_devices: int,
+    capacity_per_device: int,
+) -> int:
+    """Per-device HBM for one Submatrix shard's ring sweep: a diagonal
+    shard holds 3 copies of its row panel (resident + visiting + in-flight
+    ppermute); an off-diagonal shard holds its resident i-panel plus 2
+    rotating j-panels; both add the six hit buffers."""
+    hits_b = 6 * 4 * capacity_per_device
+    nd_i = ring_rows_per_device(num_rows, panel, row_multiple, num_devices)
+    panel_i = 2 * nd_i * words * 4
+    if is_diagonal:
+        return 3 * panel_i + hits_b
+    nd_j = ring_rows_per_device(num_cols, panel, row_multiple, num_devices)
+    return panel_i + 2 * (2 * nd_j * words * 4) + hits_b
+
+
+def _worst_ring_shard_bytes(
+    num_samples: int, split_factor: int, words: int, panel: int,
+    row_multiple: int, num_devices: int, capacity_per_device: int,
+) -> int:
+    """Worst shard at a given split factor: for k ≥ 2 an off-diagonal shard
+    holding two full-size blocks (cuking.cu:158-175); for k = 1 the single
+    diagonal shard."""
+    block = -(-num_samples // split_factor)
+    return ring_shard_bytes(
+        block, block, split_factor == 1, words, panel, row_multiple,
+        num_devices, capacity_per_device,
+    )
+
+
 def check_ring_fit(
     num_samples: int,
     words: int,
@@ -143,25 +192,45 @@ def check_ring_fit(
     capacity_per_device: int,
     num_devices: int,
     bytes_limit: int | None = None,
+    *,
+    submatrix=None,
+    panel: int = 1,
+    row_multiple: int = 1,
+    split_factor: int = 1,
 ) -> None:
-    """Mesh-path capacity check: each device holds its resident panel, the
-    rotating visitor buffer (double-buffered by the overlapped ppermute), and
-    its hit buffers; per-step compute intermediates are bounded by the
-    sub-panel tiling (parallel/ring._ring_fn) and covered by the usable-HBM
-    margin.  --split_factor can't relieve the mesh path (it requires
-    split_factor=1); the fix is a bigger slice or the sharded engine path."""
+    """Mesh-path capacity check.  When this shard's ring footprint exceeds
+    the device HBM, raises InvalidArgument naming the minimal
+    ``--split_factor`` whose worst shard fits on this mesh — --use_mesh
+    composes with --split_factor (parallel/ring.submatrix_pairs_sharded),
+    so sharding is the memory relief here exactly as on the engine path
+    (README.md:94-102).
+
+    ``submatrix`` enables the per-shard model; without it (the distributed
+    whole-cohort path) the legacy ``rows_per_device`` triangular-ring model
+    is used."""
     limit = device_bytes_limit() if bytes_limit is None else bytes_limit
     if limit is None:
         return
-    panel_b = 2 * rows_per_device * words * 4
     hits_b = 6 * 4 * capacity_per_device
-    need = 3 * panel_b + hits_b  # resident + visiting + next (in-flight permute)
+    if submatrix is not None:
+        need = ring_shard_bytes(
+            submatrix.num_rows, submatrix.num_cols, submatrix.is_diagonal,
+            words, panel, row_multiple, num_devices, capacity_per_device,
+        )
+    else:
+        need = 3 * (2 * rows_per_device * words * 4) + hits_b
     if need <= limit:
         return
+    k = split_factor + 1
+    while k < num_samples and _worst_ring_shard_bytes(
+        num_samples, k, words, panel, row_multiple, num_devices,
+        capacity_per_device,
+    ) > limit:
+        k += 1
     raise InvalidArgumentError(
         f"Each of the {num_devices} mesh devices needs {need >> 20} MiB "
-        f"({rows_per_device} sample rows x {words} words, x3 ring buffers, "
-        f"plus {hits_b >> 20} MiB hit buffers) but only {limit >> 20} MiB is "
-        "available; run on a larger slice, or drop --use_mesh and shard with "
-        "--split_factor instead."
+        f"for this shard's ring sweep (incl. {hits_b >> 20} MiB hit "
+        f"buffers) but only {limit >> 20} MiB is available; increase "
+        f"--split_factor to at least {k} (it composes with --use_mesh), "
+        "or run on a larger slice."
     )
