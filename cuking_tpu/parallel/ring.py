@@ -120,6 +120,23 @@ def _choose_sub_panel(nd: int, requested: int, row_multiple: int = 1) -> int:
     return nd
 
 
+def _wrap_split(p: int, row_multiple: int) -> int:
+    """Row count of the lower device's share when the even-D wrap block is
+    a SINGLE sub-tile (ns == 1): ~p/2 rounded to a kernel-legal panel size.
+    0 = unsplittable (degenerate p; the whole block then goes to the higher
+    device — the pre-r3 behavior, see ring_schedule)."""
+    if p >= 2 * row_multiple:
+        return (p // (2 * row_multiple)) * row_multiple
+    if row_multiple > 1 and p % 256 == 0:
+        # Tile-constrained kernels (Pallas, tile 256) accept sub-256 panels
+        # when the panel IS the tile (ti = ni), so halving at 128 is legal
+        # even though equal sub-tiles must be 256-multiples.
+        return (p // 256) * 128
+    if row_multiple == 1 and p >= 2:
+        return p // 2
+    return 0
+
+
 def _ring_fn(
     local_planes: jnp.ndarray,  # [2, nd, W] this device's sample panel
     threshold: jnp.ndarray,     # f32 scalar
@@ -130,6 +147,7 @@ def _ring_fn(
     capacity: int,
     sub_panel: int | None = None,
     row_offset: int = 0,
+    row_multiple: int = 1,
 ):
     """Per-device SPMD body.  The nd×nd pair block of each ring step is
     processed in ``sub_panel``-sized sub-tiles (an inner lax.scan), so
@@ -149,20 +167,20 @@ def _ring_fn(
     # and ``num_samples`` counts the BLOCK's samples.
     gi0 = row_offset + me * nd
     row_limit = row_offset + num_samples
-    local = jnp.arange(p, dtype=jnp.int32)
     # Backwards rotation: device d receives from d+1, so after t hops device
     # d holds the panel of block (d + t) mod D.
     perm = [(d, (d - 1) % num_devices) for d in range(num_devices)]
 
     def emit(out, running, counts, gi_base, gj_base, same):
         """Epilogue + threshold + canonical-orientation compaction for one
-        sub-tile.  ``same`` marks a sub-tile on the global diagonal (needs
+        sub-tile (any static shape — the ns==1 wrap split emits asymmetric
+        tiles).  ``same`` marks a sub-tile on the global diagonal (needs
         the strict i < j mask, cuking.cu:199); distinct blocks always hold
         distinct pairs.  KING is pair-symmetric, so a pair computed with the
         higher block resident still emits (lo, hi)."""
         res = king_from_counts(counts)
-        gi = gi_base + local
-        gj = gj_base + local
+        gi = gi_base + jnp.arange(res.kin.shape[0], dtype=jnp.int32)
+        gj = gj_base + jnp.arange(res.kin.shape[1], dtype=jnp.int32)
         mask = (
             (~same | (gi[:, None] < gj[None, :]))
             & (gi[:, None] < row_limit)
@@ -270,27 +288,60 @@ def _ring_fn(
     # higher-indexed device the whole resident block against the visitor's
     # LAST ns-h sub-cols (= the canonical block's remaining rows).  Exact
     # partition for any h; h = ns//2 balances it (±1 sub-row when ns is
-    # odd, a whole-step idle only in the degenerate ns == 1 case).
+    # odd).  When the block is a SINGLE sub-tile (ns == 1) the split happens
+    # INSIDE it by rows instead (ADVICE r2: the spec's 0.5/0.5 promise must
+    # hold, not idle the lower device): the lower device computes resident
+    # rows [0, p1) × the whole visitor, the higher device its whole resident
+    # × visitor rows [p1, p) — in canonical (a, b) terms, a-rows [0, p1) and
+    # [p1, p) respectively.  Only a degenerate unsplittable p keeps the old
+    # whole-block-to-higher-device behavior.
     if num_devices % 2 == 0 and num_devices > 1:
-        h = ns // 2
         owner = (me + num_devices // 2) % num_devices
-        low_pairs = jnp.asarray(
-            [(ii, jj) for ii in range(h) for jj in range(ns)], jnp.int32
-        ).reshape(-1, 2)
-        high_pairs = jnp.asarray(
-            [(ii, jj) for ii in range(ns) for jj in range(h, ns)], jnp.int32
-        ).reshape(-1, 2)
+        p1 = _wrap_split(p, row_multiple) if ns == 1 else 0
+        if ns == 1 and p1:
+            gj_owner = row_offset + owner * nd
 
-        def half(pairs):
-            def go(carry):
-                return lax.scan(cross_sub_body(buf, owner), carry, pairs)[0]
+            def low(carry):
+                counts = kernel(
+                    lax.slice_in_dim(local_planes, 0, p1, axis=1),
+                    buf,
+                    jnp.int32(0),
+                )
+                return emit(*carry, counts, gi0, gj_owner, jnp.bool_(False))
 
-            return go
+            def high(carry):
+                counts = kernel(
+                    local_planes,
+                    lax.slice_in_dim(buf, p1, p, axis=1),
+                    jnp.int32(0),
+                )
+                return emit(
+                    *carry, counts, gi0, gj_owner + p1, jnp.bool_(False)
+                )
 
-        out, running = lax.cond(
-            2 * me < num_devices, half(low_pairs), half(high_pairs),
-            (out, running),
-        )
+            out, running = lax.cond(
+                2 * me < num_devices, low, high, (out, running)
+            )
+        else:
+            h = ns // 2
+            low_pairs = jnp.asarray(
+                [(ii, jj) for ii in range(h) for jj in range(ns)], jnp.int32
+            ).reshape(-1, 2)
+            high_pairs = jnp.asarray(
+                [(ii, jj) for ii in range(ns) for jj in range(h, ns)],
+                jnp.int32,
+            ).reshape(-1, 2)
+
+            def half(pairs):
+                def go(carry):
+                    return lax.scan(cross_sub_body(buf, owner), carry, pairs)[0]
+
+                return go
+
+            out, running = lax.cond(
+                2 * me < num_devices, half(low_pairs), half(high_pairs),
+                (out, running),
+            )
 
     return RingOutput(
         i_idx=out[0], j_idx=out[1], kin=out[2], ibs0=out[3], ibs1=out[4],
@@ -482,7 +533,8 @@ def all_pairs_presharded(
 
     def run(capacity: int) -> RingOutput:
         fn = _compiled_ring(
-            kernel, mesh, num_devices, num_samples, capacity, p, row_offset
+            kernel, mesh, num_devices, num_samples, capacity, p, row_offset,
+            row_multiple,
         )
         return fn(planes_sharded, jnp.float32(kin_threshold))
 
@@ -631,7 +683,8 @@ _RING_OUT_SPECS = RingOutput(
 
 @lru_cache(maxsize=32)
 def _compiled_ring(
-    kernel, mesh, num_devices, num_samples, capacity, sub_panel, row_offset
+    kernel, mesh, num_devices, num_samples, capacity, sub_panel, row_offset,
+    row_multiple,
 ):
     """Jitted shard_map sweep, cached so repeated invocations (retries, CLI
     re-runs, benchmarks) skip re-tracing the whole sub-tiled scan — tracing a
@@ -647,6 +700,7 @@ def _compiled_ring(
             capacity=capacity,
             sub_panel=sub_panel,
             row_offset=row_offset,
+            row_multiple=row_multiple,
         ),
         mesh=mesh,
         in_specs=(P(None, AXIS, None), P()),

@@ -229,6 +229,27 @@ def test_ring_sub_panel_with_pallas_interpret():
     assert_resultsets_equal(got, exp)
 
 
+def test_wrap_step_split_inside_single_subtile():
+    """ADVICE r2: when the even-D wrap block is ONE sub-tile (ns == 1), the
+    0.5/0.5 spec must hold by splitting the tile's rows between the two
+    devices — not idling the lower one.  With every pair a hit, the two
+    devices of a D=2 ring must report IDENTICAL counts (each: its own
+    120-pair triangle + exactly half of the 256-pair wrap block)."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=51)
+    layout = PlaneLayout.create(200, words_multiple=16)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(2)
+    out = all_pairs_sharded(
+        planes, 32, mesh, kernel, kin_threshold=-2.0,
+        capacity_per_device=1024, sub_panel=None,  # whole block: ns == 1
+    )
+    counts = np.asarray(out.counts)
+    assert counts.sum() == 32 * 31 // 2
+    assert counts[0] == counts[1] == 120 + 128, counts
+    got = ring_output_to_resultset(out)
+    assert_resultsets_equal(got, oracle_resultset(g, -2.0))
+
+
 # -- --split_factor × mesh composition (VERDICT r2 #2) -----------------------
 
 

@@ -2,17 +2,29 @@
 """True multi-process smoke for the --distributed path.
 
 Round 1 validated the pod-slice code only in a single process ("all devices
-local").  This launches TWO OS processes, each owning 4 virtual CPU devices,
+local").  This launches N OS processes, each owning M virtual CPU devices,
 connected through jax.distributed over localhost — the real coordinator
 handshake, the real cross-process collectives (ppermute ring, allgather for
 skip/overflow decisions), real host-sharded ingest (each process packs only
 its devices' row blocks), and one output partition per process — then merges
 the partitions and checks them bit-exactly against the numpy oracle.
 
-Usage (from the repo root): ``python tools/multiprocess_smoke.py``
+Scenarios (VERDICT r2 #6 — the paths that differ by topology):
+
+* default: 2 processes x 4 devices (even D=8: exercises the wrap step)
+* ``--num-processes 3 --devices-per-process 3`` (odd D=9: no wrap step)
+* ``--skew``: one identical family inside a single device's row block plus
+  a tiny ``--capacity-per-device``, forcing the cross-process overflow
+  auto-retry (parallel/ring._run_with_retry).  Every process must reach
+  the SAME retry decision from the all-gathered counts — divergence would
+  desynchronize the collective program order and fail the run — and the
+  merged output must still be bit-exact.
+
+Usage (from the repo root): ``python tools/multiprocess_smoke.py [flags]``
 The parent re-execs itself with ``--worker <pid>`` for each process.
 """
 
+import argparse
 import json
 import os
 import struct
@@ -22,8 +34,6 @@ import tempfile
 
 sys.path.insert(0, ".")
 
-NUM_PROCESSES = 2
-DEVICES_PER_PROCESS = 4
 NUM_SAMPLES, NUM_SITES = 54, 400
 THRESHOLD = 0.05
 
@@ -36,10 +46,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def worker(process_id: int, workdir: str, port: int) -> int:
+def worker(args) -> int:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
+        + f" --xla_force_host_platform_device_count={args.devices_per_process}"
     ).strip()
     os.environ["JAX_PLATFORMS"] = "cpu"
 
@@ -50,33 +60,47 @@ def worker(process_id: int, workdir: str, port: int) -> int:
     # do; cli.py --distributed detects the already-initialized runtime.  On
     # real TPU pod slices initialize() autodetects from TPU metadata instead.
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=NUM_PROCESSES,
-        process_id=process_id,
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.num_processes,
+        process_id=args.worker,
     )
 
     from cuking_tpu import cli
 
-    rc = cli.main([
-        "--input_uri", os.path.join(workdir, "in.parquet"),
-        "--output_uri", os.path.join(workdir, "out.parquet"),
+    cli_args = [
+        "--input_uri", os.path.join(args.workdir, "in.parquet"),
+        "--output_uri", os.path.join(args.workdir, "out.parquet"),
         "--kin_threshold", str(THRESHOLD),
         "--kernel", "matmul", "--panel", "8",
         "--distributed", "--quiet",
-    ])
-    assert jax.process_count() == NUM_PROCESSES, jax.process_count()
-    assert jax.device_count() == NUM_PROCESSES * DEVICES_PER_PROCESS
+    ]
+    if args.capacity_per_device:
+        cli_args += ["--capacity_per_device", str(args.capacity_per_device)]
+    rc = cli.main(cli_args)
+    assert jax.process_count() == args.num_processes, jax.process_count()
+    assert jax.device_count() == args.num_processes * args.devices_per_process
     return rc
 
 
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-processes", type=int, default=2)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--skew", action="store_true", help=(
+        "clone one family into a single device's row block so its hit "
+        "buffer overflows and the cross-process auto-retry fires"))
+    p.add_argument("--capacity-per-device", type=int, default=0)
+    # internal (worker re-exec):
+    p.add_argument("--worker", type=int, default=None)
+    p.add_argument("--workdir", default="")
+    p.add_argument("--port", type=int, default=0)
+    return p
+
+
 def main() -> int:
-    if "--worker" in sys.argv:
-        pid = int(sys.argv[sys.argv.index("--worker") + 1])
-        return worker(
-            pid,
-            sys.argv[sys.argv.index("--workdir") + 1],
-            int(sys.argv[sys.argv.index("--port") + 1]),
-        )
+    args = build_parser().parse_args()
+    if args.worker is not None:
+        return worker(args)
 
     import numpy as np
 
@@ -88,6 +112,13 @@ def main() -> int:
     g = random_genotypes(
         NUM_SAMPLES, NUM_SITES, missing_rate=0.1, seed=61, num_related_pairs=4
     )
+    if args.skew:
+        # One identical 8-sample family inside device 0's row block: 28
+        # kin=0.5 pairs, far beyond the tiny per-device capacity below, so
+        # the run must take the allgathered-counts retry on every process.
+        g[:8] = g[0]
+        if not args.capacity_per_device:
+            args.capacity_per_device = 8
     storage = Storage()
     os.makedirs(os.path.join(workdir, "in.parquet"))
     write_synthetic_input(storage, os.path.join(workdir, "in.parquet"), g)
@@ -97,10 +128,14 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "--worker", str(i),
-             "--workdir", workdir, "--port", str(port)],
+             "--workdir", workdir, "--port", str(port),
+             "--num-processes", str(args.num_processes),
+             "--devices-per-process", str(args.devices_per_process)]
+            + (["--capacity-per-device", str(args.capacity_per_device)]
+               if args.capacity_per_device else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
-        for i in range(NUM_PROCESSES)
+        for i in range(args.num_processes)
     ]
     outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
     for i, (p, out) in enumerate(zip(procs, outputs)):
@@ -108,7 +143,7 @@ def main() -> int:
             print(f"--- worker {i} failed (rc={p.returncode}) ---\n{out}")
             return 1
 
-    # Merge the two disjoint partitions and compare with the oracle.
+    # Merge the disjoint partitions and compare with the oracle.
     from cuking_tpu.io.writer import read_results_table
     from cuking_tpu.ops.oracle import oracle_king
 
@@ -130,15 +165,18 @@ def main() -> int:
         for k in range(table.num_rows)
     )
     assert got == exp, (len(got), len(exp))
+    if args.skew:
+        assert len(got) >= 28 + args.capacity_per_device, len(got)
     parts = sorted(
         f for f in os.listdir(os.path.join(workdir, "out.parquet"))
         if f.endswith(".parquet")
     )
-    assert len(parts) == NUM_PROCESSES, parts  # one partition per host
+    assert len(parts) == args.num_processes, parts  # one partition per host
     print(json.dumps({
         "multiprocess_smoke": "ok",
-        "processes": NUM_PROCESSES,
-        "devices": NUM_PROCESSES * DEVICES_PER_PROCESS,
+        "processes": args.num_processes,
+        "devices": args.num_processes * args.devices_per_process,
+        "skew": bool(args.skew),
         "pairs": len(got),
         "partitions": parts,
     }))
