@@ -139,6 +139,40 @@ def main():
     log(f"popcount baseline: {base_dt*1e3:.1f} ms/panel-pair "
         f"({base_pairs_per_sec/1e6:.2f} M pairs/s; round_trip={round_trip*1e3:.0f} ms)")
 
+    # Kernel-only rate (same scan-differencing): the count kernel with all
+    # six counters consumed — the speed-of-light reference point the engine
+    # number is judged against (docs/PERF.md SoL analysis).
+    from cuking_tpu.models.king import _resolve_kernel as _rk
+
+    fast_kernel = _rk(config)
+
+    @_partial(jax.jit, static_argnums=(1,))
+    def kernel_chain(planes, k_steps):
+        def step(acc, k):
+            pj = lax.dynamic_slice(
+                planes, (0, (k % 8) * panel, 0), (2, panel, words)
+            )
+            pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, words))
+            c = fast_kernel(pi, pj, jnp.int32(0))
+            consumed = (
+                c.both_het.sum() + c.het_i.sum() + c.het_j.sum()
+                + c.opposing_hom.sum() + c.concordant_hom.sum()
+                + c.shared_sites.sum()
+            )
+            return acc + consumed, None
+        acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k_steps))
+        return acc
+
+    _ = int(kernel_chain(planes_dev, 1))
+    _ = int(kernel_chain(planes_dev, k_long))
+    t0 = time.perf_counter(); _ = int(kernel_chain(planes_dev, 1))
+    t1 = time.perf_counter(); _ = int(kernel_chain(planes_dev, k_long))
+    t2 = time.perf_counter()
+    kern_dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
+    kernel_pairs_per_sec = panel * panel / kern_dt
+    log(f"kernel-only ({kernel}): {kern_dt*1e3:.2f} ms/panel-pair "
+        f"({kernel_pairs_per_sec/1e6:.0f} M pairs/s)")
+
     # ---- Diagnostics (VERDICT r1 #8): configs the headline number doesn't
     # cover — the gnomAD-scale 1M-site sweep, and a hit-bearing run at the
     # default threshold so compaction + per-step result fetch costs are
@@ -287,6 +321,7 @@ def main():
             "pairs_per_sec_1m_sites": round(pairs_per_sec_1m),
             "num_sites_1m": num_sites_1m,
             "popcount_baseline_pairs_per_sec": round(base_pairs_per_sec),
+            "kernel_only_pairs_per_sec": round(kernel_pairs_per_sec),
             "ingest_entries_per_sec": round(max(ingest_native, ingest_numpy)),
             "ingest_entries_per_sec_numpy": round(ingest_numpy),
             "ingest_entries_per_sec_native": round(ingest_native),

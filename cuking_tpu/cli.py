@@ -332,7 +332,7 @@ def run(args: argparse.Namespace) -> None:
             rows_per_device = -(-rows_per_device // rm) * rm
             check_ring_fit(
                 metadata.num_samples, layout.words, rows_per_device,
-                capacity, n_dev,
+                capacity, n_dev, max_results=args.max_results,
             )
         else:
             # Per-shard model mirroring PanelStorage's panel padding; on
@@ -342,6 +342,7 @@ def run(args: argparse.Namespace) -> None:
                 metadata.num_samples, layout.words, 0, capacity, n_dev,
                 submatrix=submatrix, panel=panel, row_multiple=rm,
                 split_factor=args.split_factor,
+                max_results=args.max_results,
             )
     else:
         check_engine_fit(

@@ -188,14 +188,27 @@ def wait_for_completion(
     }
     if max_polls is None:
         max_polls = (max_run_duration_s + 24 * 3600) // max(poll_interval_s, 1)
+    last_state = ""
     for _ in range(max_polls):
-        described = runner(
-            [
-                "gcloud", "batch", "jobs", "describe", job_name,
-                f"--location={location}", "--format=json",
-            ]
-        )
+        try:
+            described = runner(
+                [
+                    "gcloud", "batch", "jobs", "describe", job_name,
+                    f"--location={location}", "--format=json",
+                ]
+            )
+        except Exception:
+            # A deletion in progress ends with the job RESOURCE disappearing:
+            # the next describe exits non-zero (NOT_FOUND).  That IS the
+            # final outcome for deletion — report the transition we saw
+            # rather than crashing the submitter.  Failures with no deletion
+            # context are real errors and propagate.
+            if last_state == "DELETION_IN_PROGRESS":
+                log(f"Job {job_name} no longer exists (deleted).")
+                return "DELETED"
+            raise
         state = json.loads(described).get("status", {}).get("state", "")
+        last_state = state
         log(f"Job {job_name} state: {state}")
         if state == "SUCCEEDED":
             write_sentinel(f"{output_uri}/_SUCCESS")

@@ -124,16 +124,22 @@ def _wrap_split(p: int, row_multiple: int) -> int:
     """Row count of the lower device's share when the even-D wrap block is
     a SINGLE sub-tile (ns == 1): ~p/2 rounded to a kernel-legal panel size.
     0 = unsplittable (degenerate p; the whole block then goes to the higher
-    device — the pre-r3 behavior, see ring_schedule)."""
+    device — the pre-r3 behavior, see ring_schedule).
+
+    Legality model (matches panel_counts_pallas, the constrained kernel):
+    a panel of ``ni`` rows is legal when ni is a multiple of the tile
+    (``row_multiple``) — or, because the kernel clamps ``ti = min(tile,
+    ni)``, when ni ≤ tile and ni respects Mosaic's 8-sublane alignment.
+    Unconstrained kernels pass row_multiple=1."""
     if p >= 2 * row_multiple:
         return (p // (2 * row_multiple)) * row_multiple
-    if row_multiple > 1 and p % 256 == 0:
-        # Tile-constrained kernels (Pallas, tile 256) accept sub-256 panels
-        # when the panel IS the tile (ti = ni), so halving at 128 is legal
-        # even though equal sub-tiles must be 256-multiples.
-        return (p // 256) * 128
-    if row_multiple == 1 and p >= 2:
-        return p // 2
+    if row_multiple == 1:
+        return p // 2 if p >= 2 else 0
+    # p < 2·row_multiple: equal tile-multiples can't split, but sub-tile
+    # panels (ti = ni ≤ tile) are legal at 8-sublane granularity.
+    half = (p // 2) // 8 * 8
+    if half >= 8 and half <= row_multiple and p - half <= row_multiple:
+        return half
     return 0
 
 

@@ -148,6 +148,19 @@ def ring_rows_per_device(
     return _ceil_to(nd, row_multiple)
 
 
+def _ring_hits_bytes(capacity_per_device: int, max_results: int | None) -> int:
+    """Worst-case hit-buffer bytes per device: the overflow auto-retry
+    (parallel/ring._run_with_retry) can regrow the buffer to a pow2 bucket
+    capped at the GLOBAL max_results, so the up-front check must budget
+    that ceiling — otherwise a run that passes the check could still OOM
+    on its retry (the exact failure the check exists to prevent; the
+    engine model worst-cases the same way in sweep_buffer_bytes)."""
+    worst = capacity_per_device
+    if max_results is not None:
+        worst = max(worst, max_results)
+    return 6 * 4 * worst
+
+
 def ring_shard_bytes(
     num_rows: int,
     num_cols: int,
@@ -157,12 +170,14 @@ def ring_shard_bytes(
     row_multiple: int,
     num_devices: int,
     capacity_per_device: int,
+    max_results: int | None = None,
 ) -> int:
     """Per-device HBM for one Submatrix shard's ring sweep: a diagonal
     shard holds 3 copies of its row panel (resident + visiting + in-flight
     ppermute); an off-diagonal shard holds its resident i-panel plus 2
-    rotating j-panels; both add the six hit buffers."""
-    hits_b = 6 * 4 * capacity_per_device
+    rotating j-panels; both add the six hit buffers at their worst
+    (post-retry) capacity."""
+    hits_b = _ring_hits_bytes(capacity_per_device, max_results)
     nd_i = ring_rows_per_device(num_rows, panel, row_multiple, num_devices)
     panel_i = 2 * nd_i * words * 4
     if is_diagonal:
@@ -174,6 +189,7 @@ def ring_shard_bytes(
 def _worst_ring_shard_bytes(
     num_samples: int, split_factor: int, words: int, panel: int,
     row_multiple: int, num_devices: int, capacity_per_device: int,
+    max_results: int | None = None,
 ) -> int:
     """Worst shard at a given split factor: for k ≥ 2 an off-diagonal shard
     holding two full-size blocks (cuking.cu:158-175); for k = 1 the single
@@ -181,7 +197,7 @@ def _worst_ring_shard_bytes(
     block = -(-num_samples // split_factor)
     return ring_shard_bytes(
         block, block, split_factor == 1, words, panel, row_multiple,
-        num_devices, capacity_per_device,
+        num_devices, capacity_per_device, max_results,
     )
 
 
@@ -197,13 +213,15 @@ def check_ring_fit(
     panel: int = 1,
     row_multiple: int = 1,
     split_factor: int = 1,
+    max_results: int | None = None,
 ) -> None:
     """Mesh-path capacity check.  When this shard's ring footprint exceeds
     the device HBM, raises InvalidArgument naming the minimal
     ``--split_factor`` whose worst shard fits on this mesh — --use_mesh
     composes with --split_factor (parallel/ring.submatrix_pairs_sharded),
     so sharding is the memory relief here exactly as on the engine path
-    (README.md:94-102).
+    (README.md:94-102).  Hit buffers are budgeted at their worst
+    post-auto-retry capacity (min'd against ``max_results`` when given).
 
     ``submatrix`` enables the per-shard model; without it (the distributed
     whole-cohort path) the legacy ``rows_per_device`` triangular-ring model
@@ -211,26 +229,48 @@ def check_ring_fit(
     limit = device_bytes_limit() if bytes_limit is None else bytes_limit
     if limit is None:
         return
-    hits_b = 6 * 4 * capacity_per_device
+    hits_b = _ring_hits_bytes(capacity_per_device, max_results)
     if submatrix is not None:
         need = ring_shard_bytes(
             submatrix.num_rows, submatrix.num_cols, submatrix.is_diagonal,
             words, panel, row_multiple, num_devices, capacity_per_device,
+            max_results,
         )
     else:
         need = 3 * (2 * rows_per_device * words * 4) + hits_b
     if need <= limit:
         return
-    k = split_factor + 1
-    while k < num_samples and _worst_ring_shard_bytes(
-        num_samples, k, words, panel, row_multiple, num_devices,
-        capacity_per_device,
-    ) > limit:
-        k += 1
+
+    def worst(k: int) -> int:
+        return _worst_ring_shard_bytes(
+            num_samples, k, words, panel, row_multiple, num_devices,
+            capacity_per_device, max_results,
+        )
+
+    # Splitting shrinks only the plane term; the hit-buffer term is
+    # k-independent.  If not even maximal splitting fits, say so instead of
+    # prescribing a split factor that cannot work.
+    if worst(num_samples) > limit:
+        raise InvalidArgumentError(
+            f"Each of the {num_devices} mesh devices needs {need >> 20} MiB "
+            f"for this shard's ring sweep but only {limit >> 20} MiB is "
+            f"available, and no --split_factor can relieve it: the "
+            f"{hits_b >> 20} MiB worst-case hit buffers alone don't fit. "
+            "Lower --max_results/--capacity_per_device, or run on a larger "
+            "slice."
+        )
+    # worst(k) is non-increasing in k: binary-search the minimal fitting k.
+    lo, hi = split_factor, num_samples  # worst(lo) > limit, worst(hi) <= limit
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if worst(mid) > limit:
+            lo = mid
+        else:
+            hi = mid
     raise InvalidArgumentError(
         f"Each of the {num_devices} mesh devices needs {need >> 20} MiB "
-        f"for this shard's ring sweep (incl. {hits_b >> 20} MiB hit "
-        f"buffers) but only {limit >> 20} MiB is available; increase "
-        f"--split_factor to at least {k} (it composes with --use_mesh), "
+        f"for this shard's ring sweep (incl. {hits_b >> 20} MiB worst-case "
+        f"hit buffers) but only {limit >> 20} MiB is available; increase "
+        f"--split_factor to at least {hi} (it composes with --use_mesh), "
         "or run on a larger slice."
     )

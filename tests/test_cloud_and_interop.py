@@ -141,6 +141,47 @@ def test_wait_for_completion_transitional_states_keep_polling():
     assert sentinels == []
 
 
+def test_wait_for_completion_deleted_job_resolves():
+    """After DELETION_IN_PROGRESS the job RESOURCE disappears and describe
+    starts failing; that is deletion's final outcome — report it instead of
+    crashing the submitter with a CalledProcessError."""
+    import subprocess
+
+    responses = iter([
+        json.dumps({"status": {"state": "RUNNING"}}),
+        json.dumps({"status": {"state": "DELETION_IN_PROGRESS"}}),
+    ])
+
+    def runner(cmd):
+        try:
+            return next(responses)
+        except StopIteration:
+            raise subprocess.CalledProcessError(1, cmd, b"NOT_FOUND")
+
+    state = wait_for_completion(
+        "cuking-x", location="us-central1", output_uri="gs://b/out",
+        runner=runner, sleep=lambda s: None,
+        write_sentinel=lambda uri: pytest.fail("no sentinel for deletion"),
+        log=lambda *_: None,
+    )
+    assert state == "DELETED"
+
+
+def test_wait_for_completion_describe_failure_propagates():
+    """A describe failure with NO deletion context is a real error."""
+    import subprocess
+
+    def runner(cmd):
+        raise subprocess.CalledProcessError(1, cmd, b"PERMISSION_DENIED")
+
+    with pytest.raises(subprocess.CalledProcessError):
+        wait_for_completion(
+            "cuking-x", location="us-central1", output_uri="gs://b/out",
+            runner=runner, sleep=lambda s: None,
+            write_sentinel=lambda uri: None, log=lambda *_: None,
+        )
+
+
 def test_wait_for_completion_poll_deadline():
     """A job stuck in an active state stops being polled after max_polls."""
     polls = []

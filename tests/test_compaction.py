@@ -89,13 +89,18 @@ def test_accumulate_hits_overflow_keeps_exact_total():
     capacity = 10
     bufs, running, expected = run_accumulate([m, m], capacity)
     assert running == 128
-    got = np.asarray(bufs[0][:capacity])
-    assert sorted(got.tolist()) == sorted(expected)[:0] or len(got) == capacity
-    # The first `capacity` hits in running order are exactly slots 0..9 of
-    # step 0 under the full path; under the top_k path order is block-major
-    # but still the first 10 emitted. Either way: all in-bounds slots are
-    # genuine hits from step 0.
-    assert set(got.tolist()) <= set(expected[:64])
+    got = np.asarray(bufs[0][:capacity]).tolist()
+    # All `capacity` slots must be filled with DISTINCT genuine hits of the
+    # FIRST step (its running offsets 0..63 cover every in-bounds slot; the
+    # second step's offsets 64..127 are all dropped).  Order within the
+    # buffer is an implementation detail (top_k emits block-major), so
+    # assert set membership + uniqueness, not order.
+    assert len(set(got)) == capacity
+    assert set(got) <= set(expected[:64])
+    # And every field was gathered at the same lanes (no field skew).
+    for f in range(1, 6):
+        vals = np.asarray(bufs[f][:capacity]) - 10_000 * f
+        assert sorted(vals.tolist()) == sorted(got)
 
 
 def test_scatter_hits_matches_flatnonzero():

@@ -116,6 +116,29 @@ def test_check_ring_fit_names_minimal_split_factor():
     )
 
 
+def test_check_ring_fit_budgets_retry_capacity_and_no_fit_message():
+    """Hit buffers are sized at the worst POST-RETRY capacity (max_results),
+    not the initial capacity — a run passing the check must not OOM on its
+    auto-retry; and when no split factor can help (the hit buffers alone
+    exceed HBM) the error says so instead of prescribing a bogus k."""
+    from cuking_tpu.parallel.submatrix import Submatrix
+
+    sm = Submatrix.create(1000, 1, 0)
+    # Initial capacity fits, but the retry ceiling (max_results) does not:
+    with pytest.raises(InvalidArgumentError, match="hit buffers alone"):
+        check_ring_fit(
+            1000, 64, 0, 4096, 8, bytes_limit=8 << 20,
+            submatrix=sm, panel=16, row_multiple=1, split_factor=1,
+            max_results=1 << 20,  # 24 MiB worst-case > 8 MiB limit
+        )
+    # Same config without the retry ceiling passes (planes are tiny).
+    check_ring_fit(
+        1000, 64, 0, 4096, 8, bytes_limit=8 << 20,
+        submatrix=sm, panel=16, row_multiple=1, split_factor=1,
+        max_results=4096,
+    )
+
+
 def test_cli_oom_failure_is_actionable(tmp_path, monkeypatch):
     """End-to-end: a mocked tiny HBM limit turns the run into an immediate
     InvalidArgument naming the fix, before any ingest work."""
