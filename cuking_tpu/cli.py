@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity_per_device", type=int, default=0, help=(
         "Per-device hit-buffer slots for the mesh ring sweep (0 = auto: "
         "2x the even share of --max_results). Row-skewed hit distributions "
-        "auto-retry at exact capacity, so this is only a memory knob"))
+        "auto-retry at a pow2-bucketed capacity, so this is only a memory "
+        "knob"))
     p.add_argument("--skip_existing", action="store_true", help=(
         "Exit successfully without recomputing when this shard's output "
         "partition already exists (idempotent fan-out restarts)"))

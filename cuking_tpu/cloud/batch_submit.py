@@ -46,12 +46,18 @@ def render_batch_job(
     cpu_milli: int = 12000,
     memory_mib: int = 87040,
     max_run_duration_s: int = 36000,
+    extra_cli_args: tuple[str, ...] = (),
 ) -> dict:
     """Renders the Cloud Batch job spec (cloud_batch_submit.py:36-77).
 
     Same task shape as the reference (12 vCPU / 85 GiB / 36,000 s budget per
     shard); the accelerator swaps from one A100 to one TPU chip addressed via
     the VM's /dev/vfio devices, which Batch exposes to privileged containers.
+
+    ``extra_cli_args`` are appended verbatim to every task's cuking_tpu
+    command — e.g. ``("--use_mesh",)`` to sweep each shard over all chips
+    of a multi-chip task VM (--use_mesh composes with --split_factor), or
+    ``("--skip_existing",)`` for idempotent resubmits.
     """
     cuking_cmd = (
         "python3 -m cuking_tpu.cli"
@@ -65,6 +71,7 @@ def render_batch_job(
         + f" --kin_threshold={kin_threshold}"
         + f" --split_factor={split_factor}"
         + " --shard_index=$BATCH_TASK_INDEX"
+        + "".join(f" {a}" for a in extra_cli_args)
     )
     job = {
         "taskGroups": [
@@ -255,6 +262,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Full image URI (overrides --project-id/--tag-name)")
     p.add_argument("--machine-type", default="ct5lp-hightpu-1t",
                    help="TPU VM machine type (one chip per shard)")
+    p.add_argument("--cuking-arg", action="append", default=[],
+                   dest="cuking_args", metavar="ARG",
+                   help="Extra cuking_tpu CLI flag appended to every task "
+                        "verbatim (repeatable) — e.g. --cuking-arg=--use_mesh "
+                        "on a multi-chip machine type, or "
+                        "--cuking-arg=--skip_existing for idempotent "
+                        "resubmits")
     p.add_argument("--render-only", action="store_true",
                    help="Print the Batch job JSON and exit (no submission)")
     p.add_argument("--write-success-file", "--wait", dest="wait",
@@ -279,6 +293,7 @@ def main(argv: list[str] | None = None) -> int:
         service_account=args.service_account,
         docker_image=docker_image,
         machine_type=args.machine_type,
+        extra_cli_args=tuple(args.cuking_args),
     )
     if args.render_only:
         print(json.dumps(job, indent=2))

@@ -43,6 +43,40 @@ def test_render_batch_job_task_count_and_command():
     assert policy["machineType"] == "ct5lp-hightpu-1t"
 
 
+def test_render_batch_job_extra_cli_args_passthrough():
+    """--cuking-arg flags reach every task's command verbatim (e.g.
+    --use_mesh to sweep each shard over a multi-chip task VM — the
+    --split_factor x --use_mesh composition applied to the fan-out)."""
+    from cuking_tpu.cloud.batch_submit import main as submit_main
+
+    job = render_batch_job(
+        input_uri="gs://b/in", output_uri="gs://b/out", kin_threshold=0.1,
+        split_factor=2, docker_image="img",
+        extra_cli_args=("--use_mesh", "--skip_existing"),
+    )
+    cmd = job["taskGroups"][0]["taskSpec"]["runnables"][0]["container"][
+        "commands"][-1]
+    assert cmd.endswith("--shard_index=$BATCH_TASK_INDEX --use_mesh "
+                        "--skip_existing")
+    # And the CLI plumbs it through --render-only.
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = submit_main([
+            "--input-uri", "gs://b/in", "--output-uri", "gs://b/out",
+            "--kin-threshold", "0.1", "--split-factor", "2",
+            "--docker-image", "img", "--cuking-arg=--use_mesh",
+            "--render-only",
+        ])
+    assert rc == 0
+    rendered = json.loads(buf.getvalue())
+    cmd2 = rendered["taskGroups"][0]["taskSpec"]["runnables"][0]["container"][
+        "commands"][-1]
+    assert cmd2.endswith("--use_mesh")
+
+
 def test_render_batch_job_omits_empty_requester_pays():
     job = render_batch_job(
         input_uri="gs://b/in", output_uri="gs://b/out", kin_threshold=0.1,
