@@ -77,8 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
         "multi-GPU fan-out)"))
     p.add_argument("--distributed", action="store_true", help=(
         "Multi-host TPU pod slice: jax.distributed.initialize(), mesh over "
-        "ALL chips in the slice; every host ingests the inputs and writes "
-        "its own disjoint output partition (implies --use_mesh)"))
+        "ALL chips in the slice; each host ingests only its devices' sample "
+        "row blocks and writes its own disjoint output partition (implies "
+        "--use_mesh; composes with --split_factor — partitions are then "
+        "keyed by shard x host)"))
     p.add_argument("--allow_single_process", action="store_true", help=(
         "With --distributed: proceed single-process when the distributed "
         "runtime fails to initialize even though the environment looks like "
@@ -124,19 +126,40 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
         args.max_results, mesh.devices.size
     )
     if isinstance(panel_storage, HostShardedStorage):
-        # Host-sharded path: assemble the global array from this host's
-        # per-device blocks (no host holds the whole cohort).
-        out = all_pairs_presharded(
-            panel_storage.to_global_array(),
-            metadata.num_samples,
-            mesh,
-            _resolve_kernel(config),
-            kin_threshold=args.kin_threshold,
-            capacity_per_device=capacity,
-            max_results=args.max_results,
-            sub_panel=config.panel,
-            row_multiple=_mesh_row_multiple(config),
-        )
+        # Host-sharded path: assemble the global array(s) from this host's
+        # per-device blocks (no host holds the whole cohort, and with
+        # --split_factor no host even holds its full share of the cohort —
+        # only this shard's ranges).
+        from cuking_tpu.parallel.ring import rect_pairs_presharded
+
+        arrays = panel_storage.to_global_arrays()
+        if len(arrays) == 1:
+            begin, length = panel_storage.ranges[0]
+            out = all_pairs_presharded(
+                arrays[0],
+                length,
+                mesh,
+                _resolve_kernel(config),
+                kin_threshold=args.kin_threshold,
+                capacity_per_device=capacity,
+                max_results=args.max_results,
+                sub_panel=config.panel,
+                row_multiple=_mesh_row_multiple(config),
+                row_offset=begin,
+            )
+        else:
+            (i_begin, i_count), (j_begin, j_count) = panel_storage.ranges
+            out = rect_pairs_presharded(
+                arrays[0], arrays[1], i_count, j_count, mesh,
+                _resolve_kernel(config),
+                i_offset=i_begin,
+                j_offset=j_begin,
+                kin_threshold=args.kin_threshold,
+                capacity_per_device=capacity,
+                max_results=args.max_results,
+                sub_panel=config.panel,
+                row_multiple=_mesh_row_multiple(config),
+            )
     else:
         # Ring sweep of THIS shard (any --split_factor): a diagonal shard
         # runs the triangular ring at its global row offset, an
@@ -214,12 +237,6 @@ def run(args: argparse.Namespace) -> None:
         raise InvalidArgumentError("Invalid shard index")
     if args.distributed:
         args.use_mesh = True
-    if args.distributed and args.split_factor != 1:
-        raise InvalidArgumentError(
-            "--distributed shards ingest by host across the whole cohort; "
-            "combine it with --split_factor=1 (single-process --use_mesh "
-            "composes with --split_factor)"
-        )
 
     logger = StageLogger(enabled=not args.quiet)
     storage = Storage(requester_pays_project=args.requester_pays_project)
@@ -255,12 +272,17 @@ def run(args: argparse.Namespace) -> None:
             logger.print(
                 "No distributed coordinator available; running single-process."
             )
-        # Each host owns one disjoint output partition, keyed by its process
-        # index — the pod-slice analogue of the per-shard part files.
-        shard_index = jax.process_index()
+        # Each host owns one disjoint output partition.  With
+        # --split_factor the partition index combines (shard, host) so every
+        # (shard × host) pair writes a unique part file and the merged
+        # output keeps the reference's trivially-mergeable property
+        # (README.md:102).
+        shard_index = (
+            args.shard_index * jax.process_count() + jax.process_index()
+        )
         logger.print(
-            f"Initialized distributed runtime: host {shard_index} of "
-            f"{jax.process_count()}, {jax.device_count()} chips total."
+            f"Initialized distributed runtime: host {jax.process_index()} "
+            f"of {jax.process_count()}, {jax.device_count()} chips total."
         )
 
     if args.skip_existing:
@@ -326,25 +348,18 @@ def run(args: argparse.Namespace) -> None:
         capacity = args.capacity_per_device or default_capacity_per_device(
             args.max_results, n_dev
         )
-        if args.distributed:
-            # HostShardedStorage pads only to the row multiple (no panel
-            # padding); whole-cohort triangular ring.
-            rows_per_device = -(-max(metadata.num_samples, 1) // n_dev)
-            rows_per_device = -(-rows_per_device // rm) * rm
-            check_ring_fit(
-                metadata.num_samples, layout.words, rows_per_device,
-                capacity, n_dev, max_results=args.max_results,
-            )
-        else:
-            # Per-shard model mirroring PanelStorage's panel padding; on
-            # overflow the error names the minimal --split_factor that fits
-            # (it composes with --use_mesh).
-            check_ring_fit(
-                metadata.num_samples, layout.words, 0, capacity, n_dev,
-                submatrix=submatrix, panel=panel, row_multiple=rm,
-                split_factor=args.split_factor,
-                max_results=args.max_results,
-            )
+        # Per-shard model; on overflow the error names the minimal
+        # --split_factor that fits (it composes with --use_mesh AND
+        # --distributed).  HostShardedStorage pads rows only to the row
+        # multiple (panel=1); PanelStorage pads to a panel multiple first.
+        check_ring_fit(
+            metadata.num_samples, layout.words, 0, capacity, n_dev,
+            submatrix=submatrix,
+            panel=1 if args.distributed else panel,
+            row_multiple=rm,
+            split_factor=args.split_factor,
+            max_results=args.max_results,
+        )
     else:
         check_engine_fit(
             metadata.num_samples, layout.words, submatrix, config,
@@ -359,6 +374,7 @@ def run(args: argparse.Namespace) -> None:
         panel_storage = HostShardedStorage(
             layout, metadata.num_samples, _make_mesh(),
             row_multiple=_mesh_row_multiple(config),
+            submatrix=submatrix,
         )
     else:
         panel_storage = PanelStorage(layout, submatrix, config.panel)

@@ -613,8 +613,39 @@ def rect_pairs_sharded(
         sharding = NamedSharding(mesh, P(None, AXIS, None))
         return jax.device_put(np.asarray(planes), sharding), nd
 
-    pi_sharded, nd_i = pad_to_mesh(planes_i, i_count)
-    pj_sharded, nd_j = pad_to_mesh(planes_j, j_count)
+    pi_sharded, _ = pad_to_mesh(planes_i, i_count)
+    pj_sharded, _ = pad_to_mesh(planes_j, j_count)
+    return rect_pairs_presharded(
+        pi_sharded, pj_sharded, i_count, j_count, mesh, kernel,
+        i_offset=i_offset, j_offset=j_offset, kin_threshold=kin_threshold,
+        capacity_per_device=capacity_per_device, row_multiple=row_multiple,
+        max_results=max_results, auto_retry=auto_retry, sub_panel=sub_panel,
+    )
+
+
+def rect_pairs_presharded(
+    pi_sharded: jnp.ndarray,  # [2, D*nd_i, W] sharded P(None, AXIS, None)
+    pj_sharded: jnp.ndarray,  # [2, D*nd_j, W] sharded P(None, AXIS, None)
+    i_count: int,
+    j_count: int,
+    mesh: Mesh,
+    kernel: Callable,
+    *,
+    i_offset: int,
+    j_offset: int,
+    kin_threshold: float,
+    capacity_per_device: int = 1 << 20,
+    row_multiple: int = 1,
+    max_results: int | None = None,
+    auto_retry: bool = True,
+    sub_panel: int | None = 1024,
+) -> RingOutput:
+    """Rectangular ring over ALREADY-sharded i/j plane arrays — the
+    multi-host entry point (each host materializes only its devices' blocks
+    of both ranges, cuking_tpu.parallel.distributed)."""
+    num_devices = mesh.devices.size
+    nd_i = pi_sharded.shape[1] // num_devices
+    nd_j = pj_sharded.shape[1] // num_devices
     p_i = _choose_sub_panel(nd_i, sub_panel, row_multiple) if sub_panel else None
     p_j = _choose_sub_panel(nd_j, sub_panel, row_multiple) if sub_panel else None
 

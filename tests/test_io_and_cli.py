@@ -274,15 +274,33 @@ def test_cli_use_mesh_composes_with_split_factor(tmp_path):
     assert key(merged) == key(unsharded)
 
 
-def test_cli_distributed_rejects_split_factor(tmp_path, capsys):
-    g = random_genotypes(10, 100, seed=0)
+def test_cli_distributed_composes_with_split_factor(tmp_path):
+    """--distributed --split_factor k: each shard's ranges are host-sharded
+    over the mesh (HostShardedStorage with a submatrix) and swept by the
+    offset-triangular / rectangular ring; merged partitions equal the
+    unsharded oracle.  Single process here, so the combined (shard, host)
+    partition index reduces to the shard index."""
+    g = random_genotypes(50, 300, missing_rate=0.1, seed=5, num_related_pairs=5)
     make_input(tmp_path, g)
-    rc = run_cli(cli_common(tmp_path, [
-        "--distributed", "--allow_single_process",
-        "--split_factor", "2", "--shard_index", "0",
-    ]))
-    assert rc == 1
-    assert "--distributed" in capsys.readouterr().err
+    split = 2
+    for shard in range(num_shards(split)):
+        rc = run_cli(cli_common(tmp_path, [
+            "--kin_threshold", "0.05", "--distributed",
+            "--split_factor", str(split), "--shard_index", str(shard),
+        ]))
+        assert rc == 0
+    out_dir = str(tmp_path / "out.parquet")
+    parts = sorted(os.listdir(out_dir))
+    assert parts == [f"part-{k:05d}.snappy.parquet" for k in range(3)]
+    merged = read_results_table(Storage(), out_dir)
+    exp = oracle_resultset(g, 0.05)
+    assert merged.num_rows == len(exp) > 0
+    got = sorted(zip(merged.column("i").to_pylist(),
+                     merged.column("j").to_pylist(),
+                     np.asarray(merged.column("kin"), dtype=np.float32)))
+    exp_keys = sorted(zip((f"S{i:06d}" for i in exp.i_idx),
+                          (f"S{j:06d}" for j in exp.j_idx), exp.kin))
+    assert got == exp_keys
 
 
 def test_cli_profile_dir_writes_trace(tmp_path):

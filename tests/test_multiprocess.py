@@ -49,6 +49,18 @@ def test_three_process_odd_ring_distributed_cli():
     ]
 
 
+def test_distributed_split_factor_composition():
+    """--distributed --split_factor 2 across two REAL processes: every
+    shard's ranges host-sharded, swept by the offset-triangular or
+    rectangular ring over the cross-process mesh, one partition per
+    (shard, host); merged output bit-exact vs the oracle."""
+    result = run_smoke(["--split-factor", "2"])
+    assert result["split_factor"] == 2
+    assert result["partitions"] == [
+        f"part-{k:05d}.snappy.parquet" for k in range(6)
+    ]
+
+
 def test_skewed_overflow_cross_process_auto_retry():
     """A family cluster inside one device's row block + capacity 8 forces
     the overflow auto-retry across processes (VERDICT r2 #6b): every host

@@ -19,6 +19,9 @@ Scenarios (VERDICT r2 #6 — the paths that differ by topology):
   the SAME retry decision from the all-gathered counts — divergence would
   desynchronize the collective program order and fail the run — and the
   merged output must still be bit-exact.
+* ``--split-factor k``: the --distributed × --split_factor composition —
+  all k(k+1)/2 shards swept through the same cross-process mesh, each
+  shard's ranges host-sharded, one partition per (shard, host).
 
 Usage (from the repo root): ``python tools/multiprocess_smoke.py [flags]``
 The parent re-execs itself with ``--worker <pid>`` for each process.
@@ -66,17 +69,27 @@ def worker(args) -> int:
     )
 
     from cuking_tpu import cli
+    from cuking_tpu.parallel.submatrix import num_shards
 
-    cli_args = [
-        "--input_uri", os.path.join(args.workdir, "in.parquet"),
-        "--output_uri", os.path.join(args.workdir, "out.parquet"),
-        "--kin_threshold", str(THRESHOLD),
-        "--kernel", "matmul", "--panel", "8",
-        "--distributed", "--quiet",
-    ]
-    if args.capacity_per_device:
-        cli_args += ["--capacity_per_device", str(args.capacity_per_device)]
-    rc = cli.main(cli_args)
+    rc = 0
+    # With --split-factor, every process sweeps EVERY shard (the distributed
+    # mesh spans all processes, so all must participate in each shard's
+    # collective); each (shard, host) pair writes its own partition.
+    for shard in range(num_shards(args.split_factor)):
+        cli_args = [
+            "--input_uri", os.path.join(args.workdir, "in.parquet"),
+            "--output_uri", os.path.join(args.workdir, "out.parquet"),
+            "--kin_threshold", str(THRESHOLD),
+            "--kernel", "matmul", "--panel", "8",
+            "--split_factor", str(args.split_factor),
+            "--shard_index", str(shard),
+            "--distributed", "--quiet",
+        ]
+        if args.capacity_per_device:
+            cli_args += [
+                "--capacity_per_device", str(args.capacity_per_device)
+            ]
+        rc = rc or cli.main(cli_args)
     assert jax.process_count() == args.num_processes, jax.process_count()
     assert jax.device_count() == args.num_processes * args.devices_per_process
     return rc
@@ -90,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
         "clone one family into a single device's row block so its hit "
         "buffer overflows and the cross-process auto-retry fires"))
     p.add_argument("--capacity-per-device", type=int, default=0)
+    p.add_argument("--split-factor", type=int, default=1, help=(
+        "run all k(k+1)/2 shards of a split-k cohort through the same "
+        "distributed mesh (each shard host-sharded via HostShardedStorage; "
+        "one partition per shard x host)"))
     # internal (worker re-exec):
     p.add_argument("--worker", type=int, default=None)
     p.add_argument("--workdir", default="")
@@ -130,7 +147,8 @@ def main() -> int:
             [sys.executable, __file__, "--worker", str(i),
              "--workdir", workdir, "--port", str(port),
              "--num-processes", str(args.num_processes),
-             "--devices-per-process", str(args.devices_per_process)]
+             "--devices-per-process", str(args.devices_per_process),
+             "--split-factor", str(args.split_factor)]
             + (["--capacity-per-device", str(args.capacity_per_device)]
                if args.capacity_per_device else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -171,12 +189,15 @@ def main() -> int:
         f for f in os.listdir(os.path.join(workdir, "out.parquet"))
         if f.endswith(".parquet")
     )
-    assert len(parts) == args.num_processes, parts  # one partition per host
+    from cuking_tpu.parallel.submatrix import num_shards
+    # one partition per shard x host
+    assert len(parts) == args.num_processes * num_shards(args.split_factor), parts
     print(json.dumps({
         "multiprocess_smoke": "ok",
         "processes": args.num_processes,
         "devices": args.num_processes * args.devices_per_process,
         "skew": bool(args.skew),
+        "split_factor": args.split_factor,
         "pairs": len(got),
         "partitions": parts,
     }))
