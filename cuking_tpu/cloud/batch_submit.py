@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shlex
 import subprocess
 import sys
 import tempfile
@@ -54,10 +55,12 @@ def render_batch_job(
     shard); the accelerator swaps from one A100 to one TPU chip addressed via
     the VM's /dev/vfio devices, which Batch exposes to privileged containers.
 
-    ``extra_cli_args`` are appended verbatim to every task's cuking_tpu
-    command — e.g. ``("--use_mesh",)`` to sweep each shard over all chips
-    of a multi-chip task VM (--use_mesh composes with --split_factor), or
-    ``("--skip_existing",)`` for idempotent resubmits.
+    ``extra_cli_args`` are appended to every task's cuking_tpu command —
+    e.g. ``("--use_mesh",)`` to sweep each shard over all chips of a
+    multi-chip task VM (--use_mesh composes with --split_factor), or
+    ``("--skip_existing",)`` for idempotent resubmits.  Each argument is
+    shell-quoted: it reaches the task's argv as ONE word, with no shell
+    expansion inside it (the command runs under ``/bin/sh -c``).
     """
     cuking_cmd = (
         "python3 -m cuking_tpu.cli"
@@ -71,7 +74,7 @@ def render_batch_job(
         + f" --kin_threshold={kin_threshold}"
         + f" --split_factor={split_factor}"
         + " --shard_index=$BATCH_TASK_INDEX"
-        + "".join(f" {a}" for a in extra_cli_args)
+        + "".join(f" {shlex.quote(a)}" for a in extra_cli_args)
     )
     job = {
         "taskGroups": [

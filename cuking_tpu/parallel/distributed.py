@@ -130,18 +130,27 @@ class HostShardedStorage:
 
     def storage_offsets(self, global_idx: np.ndarray) -> np.ndarray:
         """Global sample index → row in this host's concatenated blocks;
-        callers must only pass indices with ``contains(idx)`` true."""
+        callers must only pass indices with ``contains(idx)`` true.
+
+        Range selection needs only the (disjoint) global ranges — locality
+        is guaranteed by the ``contains`` contract — so this avoids
+        re-deriving the block-ownership masks on the ~10⁷-entry ingest
+        arrays (the single-range common case takes the direct path)."""
         global_idx = np.asarray(global_idx)
-        offsets = np.zeros(global_idx.shape, np.int64)
-        for (begin, _), nd, base, mask in zip(
-            self.ranges, self._nd, self._section_base,
-            self._range_masks(global_idx),
+        (begin, _), nd, base = self.ranges[0], self._nd[0], self._section_base[0]
+        rel = global_idx - begin
+        offsets = base + self._block_lut[
+            np.clip(rel // nd, 0, len(self._block_lut) - 1)
+        ] * nd + rel % nd
+        for (begin, length), nd, base in zip(
+            self.ranges[1:], self._nd[1:], self._section_base[1:]
         ):
             rel = global_idx - begin
-            block = self._block_lut[np.clip(rel // nd, 0,
-                                            len(self._block_lut) - 1)]
-            sec = base + block * nd + rel % nd
-            offsets = np.where(mask, sec, offsets)
+            in_range = (rel >= 0) & (rel < length)
+            block = self._block_lut[
+                np.clip(rel // nd, 0, len(self._block_lut) - 1)
+            ]
+            offsets = np.where(in_range, base + block * nd + rel % nd, offsets)
         return offsets
 
     # -- assembly ----------------------------------------------------------

@@ -223,9 +223,10 @@ def check_ring_fit(
     (README.md:94-102).  Hit buffers are budgeted at their worst
     post-auto-retry capacity (min'd against ``max_results`` when given).
 
-    ``submatrix`` enables the per-shard model; without it (the distributed
-    whole-cohort path) the legacy ``rows_per_device`` triangular-ring model
-    is used."""
+    ``submatrix`` enables the per-shard model (what the CLI always passes
+    now, distributed included); without it, ``rows_per_device`` drives the
+    plain triangular-ring model — a surface for library callers that
+    precomputed their own per-device row count."""
     limit = device_bytes_limit() if bytes_limit is None else bytes_limit
     if limit is None:
         return

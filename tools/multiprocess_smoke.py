@@ -74,7 +74,9 @@ def worker(args) -> int:
     rc = 0
     # With --split-factor, every process sweeps EVERY shard (the distributed
     # mesh spans all processes, so all must participate in each shard's
-    # collective); each (shard, host) pair writes its own partition.
+    # collective — a host that stopped after a failed shard would hang its
+    # peers in the next shard's collectives); each (shard, host) pair
+    # writes its own partition.
     for shard in range(num_shards(args.split_factor)):
         cli_args = [
             "--input_uri", os.path.join(args.workdir, "in.parquet"),
@@ -89,7 +91,7 @@ def worker(args) -> int:
             cli_args += [
                 "--capacity_per_device", str(args.capacity_per_device)
             ]
-        rc = rc or cli.main(cli_args)
+        rc = max(rc, cli.main(cli_args))
     assert jax.process_count() == args.num_processes, jax.process_count()
     assert jax.device_count() == args.num_processes * args.devices_per_process
     return rc
