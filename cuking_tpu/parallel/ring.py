@@ -39,7 +39,7 @@ Thresholded hits are compacted into fixed per-device buffers (the SPMD
 analogue of the reference's atomic result buffer, cuking.cu:296-313) with a
 running cumulative-sum offset across ring steps.  Per-device totals are
 exact even when a buffer overflows, so overflow is recoverable: the sweep is
-re-run once with capacity = the exact max count (see ``all_pairs_presharded``)
+re-run once at a pow2-bucketed capacity (see ``_run_with_retry``)
 unless the GLOBAL total exceeds ``max_results`` — the reference's only
 overflow semantic (cuking.cu:747-751).
 """
@@ -91,7 +91,7 @@ def default_capacity_per_device(max_results: int, num_devices: int) -> int:
     even share (floored at 2¹⁴, capped at the global limit).  Row-skewed hits
     beyond this — families are usually adjacent in sample order and land in
     one device's row block — don't fail the run: per-device totals are exact,
-    so the sweep auto-retries once at the exact required capacity."""
+    so the sweep auto-retries once at a pow2-bucketed capacity."""
     return min(max_results, max(2 * (-(-max_results // num_devices)), 1 << 14))
 
 
@@ -529,7 +529,7 @@ def all_pairs_presharded(
     Overflow recovery: per-device totals stay exact past capacity, so a
     row-skewed run whose buffers overflow while the GLOBAL total is within
     ``max_results`` (the reference's only bound, cuking.cu:747-751) is
-    re-run once at exactly the required capacity instead of failing.  The
+    re-run once at a pow2-bucketed capacity instead of failing.  The
     retry is deterministic across hosts — every host sees the same
     all-gathered counts.  Pass ``auto_retry=False`` to fail fast instead.
     """

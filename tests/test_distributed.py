@@ -186,7 +186,8 @@ def test_cli_distributed_single_process(tmp_path):
 
 def test_cli_capacity_per_device_flag(tmp_path):
     """--capacity_per_device small enough to overflow: the ring auto-retries
-    at exact capacity and the run still matches the single-device output."""
+    at a pow2-bucketed capacity and the run still matches the
+    single-device output."""
     from cuking_tpu import cli
 
     g = random_genotypes(32, 200, missing_rate=0.0, seed=47)

@@ -329,7 +329,7 @@ def test_rect_ring_skewed_overflow_auto_retry():
 def test_ring_overflow_auto_retry_succeeds():
     """A device buffer overflow with the GLOBAL total within max_results is
     recoverable (the reference bounds only the global count,
-    cuking.cu:747-751): the sweep auto-retries at exact capacity and the
+    cuking.cu:747-751): the sweep auto-retries at a pow2 bucket and the
     results still match the oracle exactly."""
     g = random_genotypes(32, 200, missing_rate=0.0, seed=34)
     layout = PlaneLayout.create(200, words_multiple=16)
