@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
         "2x the even share of --max_results). Row-skewed hit distributions "
         "auto-retry at a pow2-bucketed capacity, so this is only a memory "
         "knob"))
+    p.add_argument("--result_capacity", type=int, default=0, help=(
+        "Device result-buffer slots for the single-chip engine sweep "
+        "(0 = auto: min(max_results, 2^20)). A sweep whose hit count "
+        "exceeds it re-runs once at the next pow2 bucket; pipelines that "
+        "know their hit count can pre-size the buffer here to avoid the "
+        "second sweep"))
     p.add_argument("--skip_existing", action="store_true", help=(
         "Exit successfully without recomputing when this shard's output "
         "partition already exists (idempotent fan-out restarts)"))
@@ -328,6 +334,7 @@ def run(args: argparse.Namespace) -> None:
         max_results=args.max_results,
         panel=panel,
         kernel=args.kernel,
+        result_capacity=args.result_capacity,
         verbose=not args.quiet,
     )
 

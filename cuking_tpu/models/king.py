@@ -40,7 +40,7 @@ from jax import lax
 
 from cuking_tpu.ops import bitset
 from cuking_tpu.ops.bitset import PlaneLayout
-from cuking_tpu.ops.compaction import FIELD_FILLS, accumulate_hits
+from cuking_tpu.ops.compaction import accumulate_hits, empty_result_buffers
 from cuking_tpu.ops.king_jnp import panel_counts_popcount
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.ops.king_mm import panel_counts_matmul
@@ -377,12 +377,7 @@ class KingEngine:
 
     @staticmethod
     def _empty_buffers(capacity: int) -> tuple:
-        dtypes = (jnp.int32, jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                  jnp.int32)
-        return tuple(
-            jnp.full((capacity,), fill, dt)
-            for fill, dt in zip(FIELD_FILLS, dtypes)
-        )
+        return empty_result_buffers(capacity)
 
     def _panel_pair_params(self) -> np.ndarray:
         """[num_steps, 6] int32 schedule: (i_off, j_off, gi_base, gj_base,

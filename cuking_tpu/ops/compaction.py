@@ -30,6 +30,17 @@ class CompactedPanel(NamedTuple):
 
 
 FIELD_FILLS = (-1, -1, jnp.float32(0), 0, 0, 0)  # i, j, kin, ibs0/1/2
+FIELD_DTYPES = (jnp.int32, jnp.int32, jnp.float32, jnp.int32, jnp.int32,
+                jnp.int32)
+
+
+def empty_result_buffers(capacity: int) -> tuple:
+    """The six [capacity] result buffers at their fill values — the one
+    definition shared by the engine sweep and both ring bodies."""
+    return tuple(
+        jnp.full((capacity,), fill, dt)
+        for fill, dt in zip(FIELD_FILLS, FIELD_DTYPES)
+    )
 
 
 def scatter_positions(

@@ -146,11 +146,13 @@ class HostShardedStorage:
             self.ranges[1:], self._nd[1:], self._section_base[1:]
         ):
             rel = global_idx - begin
-            in_range = (rel >= 0) & (rel < length)
+            # Branch-free select (np.where is ~10-30x slower than fused
+            # mask arithmetic on some hosts; see PanelStorage.storage_offsets).
+            in_range = ((rel >= 0) & (rel < length)).astype(offsets.dtype)
             block = self._block_lut[
                 np.clip(rel // nd, 0, len(self._block_lut) - 1)
             ]
-            offsets = np.where(in_range, base + block * nd + rel % nd, offsets)
+            offsets += in_range * (base + block * nd + rel % nd - offsets)
         return offsets
 
     # -- assembly ----------------------------------------------------------

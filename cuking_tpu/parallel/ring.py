@@ -57,7 +57,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuking_tpu.models.king import DEFAULT_MAX_RESULTS, ResultSet
-from cuking_tpu.ops.compaction import accumulate_hits
+from cuking_tpu.ops.compaction import accumulate_hits, empty_result_buffers
 from cuking_tpu.ops.king_math import king_from_counts
 from cuking_tpu.utils.status import ResourceExhaustedError
 
@@ -208,14 +208,7 @@ def _ring_fn(
     def slice_rows(planes, k):
         return lax.dynamic_slice(planes, (0, k * p, 0), (2, p, words))
 
-    out0 = (
-        jnp.full((capacity,), -1, jnp.int32),
-        jnp.full((capacity,), -1, jnp.int32),
-        jnp.zeros((capacity,), jnp.float32),
-        jnp.zeros((capacity,), jnp.int32),
-        jnp.zeros((capacity,), jnp.int32),
-        jnp.zeros((capacity,), jnp.int32),
-    )
+    out0 = empty_result_buffers(capacity)
 
     # The first rotation is issued BEFORE the local-triangle phase: the hop
     # that delivers block (me+1) rides ICI while the diagonal compute runs.
@@ -411,14 +404,7 @@ def _rect_ring_fn(
         fields = (gi2, gj2, res.kin, res.ibs0, res.ibs1, res.ibs2)
         return accumulate_hits(out, running, mask, fields, capacity)
 
-    out0 = (
-        jnp.full((capacity,), -1, jnp.int32),
-        jnp.full((capacity,), -1, jnp.int32),
-        jnp.zeros((capacity,), jnp.float32),
-        jnp.zeros((capacity,), jnp.int32),
-        jnp.zeros((capacity,), jnp.int32),
-        jnp.zeros((capacity,), jnp.int32),
-    )
+    out0 = empty_result_buffers(capacity)
     grid_pairs = jnp.asarray(
         [(ii, jj) for ii in range(nd_i // p_i) for jj in range(nd_j // p_j)],
         jnp.int32,
@@ -459,6 +445,26 @@ def _rect_ring_fn(
     )
 
 
+def _pad_and_shard(
+    planes, count: int, mesh: Mesh, row_multiple: int
+) -> tuple[jnp.ndarray, int]:
+    """Pads a [2, n, W] plane array with all-missing rows to an even
+    per-device multiple (respecting the kernel tile multiple) and places it
+    sharded along the sample axis.  Rows may already carry padding beyond
+    ``count`` (panel multiples), so the pad target is max(count, n).
+    Padding self-masks via the validity bound."""
+    num_devices = mesh.devices.size
+    n = planes.shape[1]
+    nd = -(-max(count, n, 1) // num_devices)
+    nd = -(-nd // row_multiple) * row_multiple
+    n_pad = nd * num_devices
+    if n < n_pad:
+        pad = np.full((2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32)
+        planes = np.concatenate([np.asarray(planes), pad], axis=1)
+    sharding = NamedSharding(mesh, P(None, AXIS, None))
+    return jax.device_put(np.asarray(planes), sharding), nd
+
+
 def all_pairs_sharded(
     planes: np.ndarray | jnp.ndarray,  # [2, N_stored, W] host or device
     num_samples: int,
@@ -483,19 +489,7 @@ def all_pairs_sharded(
     ``_ring_fn``); the default 1024 keeps them ≤~25 MiB at any cohort size
     (``None`` = whole block, test/debug only).
     """
-    num_devices = mesh.devices.size
-    n = planes.shape[1]
-    # Row count must divide evenly across devices; planes may already carry
-    # padding rows beyond num_samples (panel multiples), so pad from
-    # whichever is larger.  Padding rows self-mask via the num_samples check.
-    nd = -(-max(num_samples, n, 1) // num_devices)
-    nd = -(-nd // row_multiple) * row_multiple
-    n_pad = nd * num_devices
-    if n < n_pad:
-        pad = np.full((2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32)
-        planes = np.concatenate([np.asarray(planes), pad], axis=1)
-    sharding = NamedSharding(mesh, P(None, AXIS, None))
-    planes_sharded = jax.device_put(np.asarray(planes), sharding)
+    planes_sharded, _ = _pad_and_shard(planes, num_samples, mesh, row_multiple)
     return all_pairs_presharded(
         planes_sharded, num_samples, mesh, kernel,
         kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
@@ -598,23 +592,8 @@ def rect_pairs_sharded(
     --use_mesh: each device holds 2/k'th of a split-k cohort's panel
     instead of the whole cohort's share — the reference's memory-relief
     axis (README.md:94-102) applied to the pod-slice path."""
-    num_devices = mesh.devices.size
-
-    def pad_to_mesh(planes, count):
-        n = planes.shape[1]
-        nd = -(-max(count, n, 1) // num_devices)
-        nd = -(-nd // row_multiple) * row_multiple
-        n_pad = nd * num_devices
-        if n < n_pad:
-            pad = np.full(
-                (2, n_pad - n, planes.shape[2]), 0xFFFFFFFF, np.uint32
-            )
-            planes = np.concatenate([np.asarray(planes), pad], axis=1)
-        sharding = NamedSharding(mesh, P(None, AXIS, None))
-        return jax.device_put(np.asarray(planes), sharding), nd
-
-    pi_sharded, _ = pad_to_mesh(planes_i, i_count)
-    pj_sharded, _ = pad_to_mesh(planes_j, j_count)
+    pi_sharded, _ = _pad_and_shard(planes_i, i_count, mesh, row_multiple)
+    pj_sharded, _ = _pad_and_shard(planes_j, j_count, mesh, row_multiple)
     return rect_pairs_presharded(
         pi_sharded, pj_sharded, i_count, j_count, mesh, kernel,
         i_offset=i_offset, j_offset=j_offset, kin_threshold=kin_threshold,

@@ -117,22 +117,39 @@ def check_engine_fit(
     if limit is None:
         return
     planes_b = engine_plane_bytes(submatrix, words, config.panel)
-    need = planes_b + sweep_buffer_bytes(config)
+    buffers_b = sweep_buffer_bytes(config)
+    need = planes_b + buffers_b
     if need <= limit:
         return
-    k = split_factor + 1
-    while k < num_samples and (
-        shard_plane_bytes(num_samples, k, words, config.panel)
-        + sweep_buffer_bytes(config)
-        > limit
-    ):
-        k += 1
+
+    def worst(k: int) -> int:
+        return shard_plane_bytes(num_samples, k, words, config.panel) + buffers_b
+
+    # Splitting shrinks only the plane term; the result-buffer term (sized
+    # at the worst post-retry capacity) is k-independent.  If not even
+    # maximal splitting fits, say so instead of prescribing a split factor
+    # that cannot work (and don't walk k one-by-one up to num_samples).
+    if worst(num_samples) > limit:
+        raise InvalidArgumentError(
+            f"Shard needs {need >> 20} MiB of device memory but only "
+            f"{limit >> 20} MiB is available, and no --split_factor can "
+            f"relieve it: the {buffers_b >> 20} MiB worst-case result "
+            "buffers alone don't fit. Lower --max_results/"
+            "--result_capacity, or use a device with more memory."
+        )
+    lo, hi = split_factor, num_samples  # worst(hi) <= limit
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if worst(mid) > limit:
+            lo = mid
+        else:
+            hi = mid
     raise InvalidArgumentError(
         f"Shard needs {need >> 20} MiB of device memory "
         f"({planes_b >> 20} MiB bit planes + "
-        f"{sweep_buffer_bytes(config) >> 20} MiB sweep buffers) but only "
+        f"{buffers_b >> 20} MiB sweep buffers) but only "
         f"{limit >> 20} MiB is available; increase --split_factor to at "
-        f"least {k}."
+        f"least {hi}."
     )
 
 
@@ -259,6 +276,17 @@ def check_ring_fit(
             f"{hits_b >> 20} MiB worst-case hit buffers alone don't fit. "
             "Lower --max_results/--capacity_per_device, or run on a larger "
             "slice."
+        )
+    if worst(split_factor) <= limit:
+        # The caller's `need` (e.g. a library-supplied rows_per_device with
+        # padding beyond this model) exceeds the limit even though the
+        # internal worst-shard model at the current split fits — a split
+        # prescription from the model would be misleading, so don't give one.
+        raise InvalidArgumentError(
+            f"Each of the {num_devices} mesh devices needs {need >> 20} MiB "
+            f"for this ring sweep (incl. {hits_b >> 20} MiB worst-case hit "
+            f"buffers) but only {limit >> 20} MiB is available; reduce the "
+            "per-device row count or run on a larger slice."
         )
     # worst(k) is non-increasing in k: binary-search the minimal fitting k.
     lo, hi = split_factor, num_samples  # worst(lo) > limit, worst(hi) <= limit

@@ -184,6 +184,36 @@ def test_cli_distributed_single_process(tmp_path):
     )
 
 
+def test_cli_result_capacity_flag(tmp_path):
+    """--result_capacity pre-sizes the engine's device result buffer; a
+    too-small value still succeeds via the pow2 overflow retry and the
+    output matches the default-capacity run exactly."""
+    from cuking_tpu import cli
+
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=48)
+    storage = Storage()
+    input_uri = str(tmp_path / "in.parquet")
+    os.makedirs(input_uri)
+    write_synthetic_input(storage, input_uri, g)
+
+    outs = {}
+    for name, extra in [
+        ("default", []),
+        ("tiny", ["--result_capacity", "8"]),
+        ("presized", ["--result_capacity", "4096"]),
+    ]:
+        out_uri = str(tmp_path / f"out_{name}.parquet")
+        rc = cli.main([
+            "--input_uri", input_uri, "--output_uri", out_uri,
+            "--kernel", "matmul", "--kin_threshold", "-2.0",
+            "--panel", "16", "--quiet"] + extra)
+        assert rc == 0, name
+        outs[name] = read_results_table(storage, out_uri)
+    assert outs["tiny"].num_rows == 32 * 31 // 2  # capacity 8 overflowed
+    assert outs["tiny"].equals(outs["default"])
+    assert outs["presized"].equals(outs["default"])
+
+
 def test_cli_capacity_per_device_flag(tmp_path):
     """--capacity_per_device small enough to overflow: the ring auto-retries
     at a pow2-bucketed capacity and the run still matches the

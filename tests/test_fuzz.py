@@ -37,10 +37,11 @@ def test_engine_fuzz_vs_oracle(n, s, missing, threshold, kernel, panel, seed):
 
 
 def test_engine_exact_fallback_on_dense_hits():
-    """A step whose hits exceed the fast-path per-step buffer (cap_step =
-    min(panel², 2¹⁴)) must be recomputed exactly at full panel² capacity:
-    panel=256 with threshold=-2 makes every i<j pair a hit (32,640 >
-    16,384)."""
+    """A step with more hits than the top_k candidate budget (2¹⁴ lanes,
+    ops/compaction.CANDIDATE_BUDGET) must take accumulate_hits' exact
+    full-scatter fallback: panel=256 with threshold=-2 makes every i<j
+    pair of a step a hit (32,640 > 16,384), overflowing every block's
+    quota."""
     n = 256
     g = random_genotypes(n, 64, missing_rate=0.0, seed=300)
     cfg = KingConfig(
