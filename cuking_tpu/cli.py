@@ -292,10 +292,15 @@ def run(args: argparse.Namespace) -> None:
         )
 
     if args.skip_existing:
-        from cuking_tpu.io.writer import partition_name
+        from cuking_tpu.io.writer import partition_is_valid, partition_name
 
         part_uri = storage.join(args.output_uri, partition_name(shard_index))
-        mine_exists = storage.exists(part_uri)
+        # Existence alone is not enough: a crashed writer (or a non-atomic
+        # store) can leave a truncated partition, and skipping it would
+        # silently drop this shard's pairs.  Only a partition whose Parquet
+        # footer parses counts as done; anything else is recomputed, which is
+        # safe because partition writes are idempotent (README.md:102).
+        mine_exists = partition_is_valid(storage, part_uri)
         if args.distributed:
             # The skip decision must be COLLECTIVE: the ring sweep spans every
             # chip in the slice, so a host that returns early while others

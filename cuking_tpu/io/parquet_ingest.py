@@ -109,10 +109,16 @@ def ingest_parquet(
             # (cuking.cu:316-323).
             native.clear_bits(planes, layout, offsets, row_idx, n_alt, source=path)
         else:
+            # The sort/segment mask computation runs on thread-local arrays
+            # and needs no lock; only the O(words-touched) in-place scatter
+            # mutates the shared planes.  Keeping the critical section that
+            # small stops decode threads convoying on one lock (the r3
+            # numpy path was 5.6× slower than native largely from this).
+            prepared = bitset.prepare_clear_masks(
+                layout, offsets, row_idx, n_alt, source=path
+            )
             with scatter_lock:
-                bitset.clear_bits_coo(
-                    planes, layout, offsets, row_idx, n_alt, source=path
-                )
+                bitset.apply_clear_masks(planes, prepared)
         with scatter_lock:
             progress["count"] += 1
             if progress["count"] % 1024 == 0:

@@ -18,6 +18,75 @@ from dataclasses import dataclass, field
 from cuking_tpu.utils.status import FailedPreconditionError, InvalidArgumentError
 
 
+class _AtomicLocalFile:
+    """Local write handle with commit-on-close semantics.
+
+    Bytes go to ``<final>.tmp-<pid>`` in the destination directory; a clean
+    ``close()`` (or context-manager exit without exception) fsyncs and
+    ``os.replace``s it over the final path, while an error path unlinks the
+    temp file.  Readers therefore only ever see absent or complete files.
+    """
+
+    def __init__(self, final_path: str):
+        self._final = final_path
+        self._tmp = f"{final_path}.tmp-{os.getpid()}"
+        self._f = open(self._tmp, "wb")
+        self._committed = False
+
+    def write(self, data) -> int:
+        return self._f.write(data)
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def seek(self, *args) -> int:
+        return self._f.seek(*args)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def writable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    @property
+    def closed(self) -> bool:
+        return self._f.closed
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        try:
+            self._f.flush()
+            os.fsync(self._f.fileno())
+        finally:
+            self._f.close()
+        os.replace(self._tmp, self._final)
+        self._committed = True
+
+    def abort(self) -> None:
+        """Discards the temp file without publishing."""
+        if not self._f.closed:
+            self._f.close()
+        if not self._committed:
+            try:
+                os.unlink(self._tmp)
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+        return False
+
+
 def uri_scheme(uri: str) -> str | None:
     """'gs://b/p' → 'gs'; plain local paths → None."""
     head, sep, _ = uri.partition("://")
@@ -108,10 +177,21 @@ class Storage:
         return fs.open(path, "rb")
 
     def open_write(self, uri: str):
+        """Opens ``uri`` for writing with all-or-nothing visibility.
+
+        Local paths write to a same-directory temp file that is atomically
+        renamed into place on clean close and deleted on error, so a run
+        killed mid-write can never leave a truncated partition that a later
+        ``--skip_existing`` restart would trust (the reference keeps the
+        matching idempotent-partition property by always recomputing,
+        cuking.cu:866-875, README.md:102).  GCS already has this semantics
+        natively — an object only becomes visible when its upload completes —
+        so fsspec URIs pass through.
+        """
         fs, path = self._fs_for(uri)
         if fs is None:
             os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
-            return open(uri, "wb")
+            return _AtomicLocalFile(uri)
         return fs.open(path, "wb")
 
     def exists(self, uri: str) -> bool:

@@ -31,6 +31,27 @@ def partition_name(shard_index: int) -> str:
     return f"part-{shard_index:05d}.snappy.parquet"
 
 
+def partition_is_valid(storage: Storage, uri: str) -> bool:
+    """True iff ``uri`` exists and is a structurally complete Parquet file.
+
+    ``--skip_existing`` must not trust a partition on existence alone: a
+    previous run killed mid-write (or a non-atomic remote store) can leave a
+    truncated object, and skipping it would silently drop that shard's pairs.
+    Parquet puts its footer (metadata + magic) last, so a successful
+    ``pq.read_metadata`` proves the file was written to completion — the
+    validation counterpart of the reference's always-recompute restart
+    posture (README.md:102, cuking.cu:866-875).
+    """
+    if not storage.exists(uri):
+        return False
+    try:
+        with storage.open_read(uri) as f:
+            pq.read_metadata(f)
+        return True
+    except Exception:
+        return False
+
+
 def results_to_table(results: ResultSet, sample_ids: list[str]) -> pa.Table:
     """Numeric sample indices → ID strings through the metadata ordering
     (cuking.cu:811-824)."""

@@ -2,11 +2,17 @@
 """Sweep Pallas kernel knobs on the real TPU chip.
 
 Times panel_counts_pallas for combinations of (words_multiple, site_chunk,
-tile) at the bench workload (panel=1024, 100k sites) via scan-differencing
-(1-step vs K-step in-device scan over distinct j-slices), and reports
-effective pairs/s for each.  Run: python tools/tune_pallas.py
+tile_i, tile_j) at a given site count via scan-differencing (1-step vs
+K-step in-device scan over distinct j-slices), and reports effective
+pairs/s for each.
+
+Run: python tools/tune_pallas.py [--sites 100000] [--long]
+  --sites N   site count for the sweep (default 100k, the headline regime)
+  --long      use the 1M-site gnomAD regime (BASELINE.json config 2) —
+              the W=31360 long-site tail VERDICT r3 flagged as untuned
 """
 
+import argparse
 import sys
 import time
 from functools import partial
@@ -17,6 +23,14 @@ sys.path.insert(0, ".")
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", type=int, default=100_000)
+    ap.add_argument("--long", action="store_true",
+                    help="shorthand for --sites 1000000")
+    ap.add_argument("--panel", type=int, default=1024)
+    args = ap.parse_args()
+    num_sites = 1_000_000 if args.long else args.sites
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -24,43 +38,70 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from cuking_tpu.ops.king_pallas import panel_counts_pallas
+    from cuking_tpu.ops.king_pallas import _select_chunk, panel_counts_pallas
 
-    num_sites = 100_000
-    panel = 1024
-    n_rows = 16 * panel
+    panel = args.panel
+    # Long sites: fewer resident rows so host gen + upload stay tractable
+    # (2 planes × rows × W × 4B; at W=31360, 8·1024 rows ≈ 2 GB).
+    n_rows = (8 if num_sites > 400_000 else 16) * panel
     rng = np.random.default_rng(0)
 
     configs = [
-        # (words_multiple, site_chunk_words, tile, unpack)
-        (128, 128, 256, "u32"),   # the deployed default
-        (128, 64, 256, "u32"),
-        (128, 256, 256, "u32"),
-        (128, 128, 128, "u32"),
-        (128, 128, 512, "u32"),
+        # (words_multiple, site_chunk_words, tile_i, tile_j, unpack)
+        (128, 128, 256, 256, "u32"),   # the deployed default
+        (128, 256, 256, 256, "u32"),   # larger chunk: fewer acc sweeps
+        (128, 384, 256, 256, "u32"),
+        (128, 512, 256, 256, "u32"),
+        (128, 128, 128, 256, "u32"),
+        (128, 256, 128, 256, "u32"),   # small i-tile buys chunk headroom
+        (128, 512, 128, 256, "u32"),
+        (128, 128, 512, 256, "u32"),
+        (128, 128, 256, 512, "u32"),
         # u8 probes whether the Mosaic toolchain learned i8 vector compares
         # (panel_counts_pallas rejects it on compiled TPU until then).
-        (128, 128, 256, "u8"),
+        (128, 128, 256, 256, "u8"),
     ]
-    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    print(f"backend={jax.default_backend()} sites={num_sites} panel={panel} "
+          f"rows={n_rows}", file=sys.stderr)
 
-    for wm, chunk, tile, unpack in configs:
-        words = -(-(-(-num_sites // 32)) // wm) * wm
-        planes = jnp.asarray(
-            rng.integers(0, 2**32, (2, n_rows, words), dtype=np.uint32)
-        )
+    # All configs share words_multiple=128 → same padded W; generate and
+    # upload the planes ONCE (at W=31360 this is a 2 GB array — per-config
+    # regeneration would dominate the sweep on this 1-vCPU box).
+    words = -(-(-(-num_sites // 32)) // 128) * 128
+    planes = jnp.asarray(
+        rng.integers(0, 2**32, (2, n_rows, words), dtype=np.uint32)
+    )
+    planes.block_until_ready()
+
+    seen = set()
+    for wm, chunk, tile_i, tile_j, unpack in configs:
+        assert wm == 128
+        # Replicate the kernel's VMEM-budget clamp so the printed chunk is
+        # the EFFECTIVE one (a 256 request at tile 256×256 clamps to 128 —
+        # silently measuring a duplicate config otherwise).
+        per_wc = 3 * 32 * (tile_i + tile_j)
+        bound = min(chunk, words, max(1, (10 << 20) // per_wc))
+        eff = _select_chunk(words, bound, False)
+        key = (eff, tile_i, tile_j, unpack)
+        if key in seen:
+            print(f"chunk={chunk:4d} tile={tile_i}x{tile_j}: clamps to "
+                  f"already-measured chunk={eff} — skipped")
+            continue
+        seen.add(key)
+        chunk = eff
 
         @partial(jax.jit, static_argnums=(1,))
-        def chain(planes, k_steps, _chunk=chunk, _tile=tile, _words=words,
-                  _unpack=unpack):
+        def chain(planes, k_steps, _chunk=chunk, _ti=tile_i, _tj=tile_j,
+                  _words=words, _unpack=unpack):
             def step(acc, k):
                 pj = lax.dynamic_slice(
-                    planes, (0, k * panel, 0), (2, panel, _words)
+                    planes, (0, (k % (n_rows // panel)) * panel, 0),
+                    (2, panel, _words)
                 )
                 pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, _words))
                 c = panel_counts_pallas(
                     pi, pj, site_chunk_words=_chunk,
-                    tile_i=_tile, tile_j=_tile, unpack=_unpack,
+                    tile_i=_ti, tile_j=_tj, unpack=_unpack,
                 )
                 consumed = (
                     c.both_het + c.het_i + c.het_j + c.opposing_hom
@@ -72,7 +113,7 @@ def main():
             return acc
 
         try:
-            k_long = 8
+            k_long = 8 if words <= 4000 else 4
             _ = int(chain(planes, 1))
             _ = int(chain(planes, k_long))
             t0 = time.perf_counter(); _ = int(chain(planes, 1))
@@ -81,11 +122,14 @@ def main():
             dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
             pairs_s = panel * panel / dt
             print(
-                f"wm={wm:4d} chunk={chunk:4d} tile={tile:3d} unpack={unpack:4s} W={words:5d}: "
+                f"wm={wm:4d} chunk={chunk:4d} tile={tile_i:3d}x{tile_j:3d} "
+                f"unpack={unpack:4s} W={words:5d}: "
                 f"{dt*1e3:7.2f} ms/panel-pair  {pairs_s/1e6:7.1f} M pairs/s"
             )
         except Exception as e:
-            print(f"wm={wm} chunk={chunk} tile={tile} unpack={unpack}: FAILED {type(e).__name__}: {e}")
+            msg = str(e).split("\n")[0][:120]
+            print(f"wm={wm} chunk={chunk} tile={tile_i}x{tile_j} "
+                  f"unpack={unpack}: FAILED {type(e).__name__}: {msg}")
 
 
 if __name__ == "__main__":
