@@ -16,6 +16,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -436,6 +437,15 @@ def run(args: argparse.Namespace) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # Honor JAX_PLATFORMS explicitly: some deployments register a TPU
+    # backend via a site hook that bypasses JAX's own env-var handling, so
+    # `JAX_PLATFORMS=cpu python -m cuking_tpu.cli ...` would silently (or,
+    # with the TPU runtime unreachable, hangingly) still pick the TPU.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms and platforms != "axon":
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
     args = build_parser().parse_args(argv)
     try:
         run(args)

@@ -29,7 +29,10 @@ class CompactedPanel(NamedTuple):
     ibs2: jnp.ndarray   # [capacity] int32
 
 
-FIELD_FILLS = (-1, -1, jnp.float32(0), 0, 0, 0)  # i, j, kin, ibs0/1/2
+# Plain Python scalars only: a jnp scalar here would initialize the JAX
+# backend at import time, making `import cuking_tpu` block on an unreachable
+# TPU runtime even for CPU-only tools.
+FIELD_FILLS = (-1, -1, 0.0, 0, 0, 0)  # i, j, kin, ibs0/1/2
 FIELD_DTYPES = (jnp.int32, jnp.int32, jnp.float32, jnp.int32, jnp.int32,
                 jnp.int32)
 
