@@ -71,6 +71,65 @@ def analyze(trace_dir: str) -> dict:
     }
 
 
+def _intervals(trace_dir: str) -> dict:
+    """(start_ns, end_ns) interval lists per category from the xplane's
+    device planes — sync ("XLA Ops") and async ("Async XLA Ops") lines both
+    contribute, since collectives show up as async start/done pairs."""
+    from jax.profiler import ProfileData
+
+    path = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
+    pd = ProfileData.from_file(path)
+    out = collections.defaultdict(list)
+    for plane in pd.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "Async XLA Ops"):
+                continue
+            for e in line.events:
+                out[classify(e.name)].append(
+                    (e.start_ns, e.start_ns + e.duration_ns)
+                )
+    return out
+
+
+def ppermute_overlap(trace_dir: str) -> dict | None:
+    """Measures how much collective-permute (ICI ring hop) time is covered
+    by Mosaic kernel custom-calls — the schedule's claim that the next
+    rotation's panel exchange hides under the current rotation's compute
+    (parallel/ring.py).  Returns None when the trace holds no
+    collective-permute events (D=1: XLA compiles the self-permute away).
+    Used by tools/scaling_bench.py on real multi-chip hardware."""
+    iv = _intervals(trace_dir)
+    cps = sorted(iv.get("collective-permute", []))
+    if not cps:
+        return None
+    kernels = sorted(iv.get("kernel (Mosaic custom-call)", []))
+    # Union of kernel intervals, then per-cp overlapped time via merge scan.
+    merged = []
+    for s, e in kernels:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    total = sum(e - s for s, e in cps)
+    covered = 0
+    ki = 0
+    for s, e in cps:
+        while ki < len(merged) and merged[ki][1] <= s:
+            ki += 1
+        kj = ki
+        while kj < len(merged) and merged[kj][0] < e:
+            covered += min(e, merged[kj][1]) - max(s, merged[kj][0])
+            kj += 1
+    return {
+        "collective_permute_ms": total / 1e6,
+        "overlapped_ms": covered / 1e6,
+        "overlap_fraction": covered / max(total, 1),
+        "num_events": len(cps),
+    }
+
+
 def report(tag, stats):
     print(f"\n== {tag} ==")
     print(f"  device module time: {stats['modules_ms']:.1f} ms   "
