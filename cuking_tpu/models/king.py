@@ -78,6 +78,11 @@ class KingConfig:
     popcount_row_block: int = 8     # i-rows per popcount map step
     sweep_batch: int = 64           # panel-pair steps fused into one dispatch
     result_capacity: int = 0        # device result-buffer slots (0 = auto)
+    # Pallas only: index panels straight out of the full plane storage via
+    # scalar prefetch instead of materializing dynamic-slice copies — at
+    # gnomAD-scale W the slices are ~257 MiB of pure HBM copy per step.
+    # Off switch exists for A/B measurement (tools/tune_pallas.py).
+    indexed_panels: bool = False
     verbose: bool = False
 
     def resolved_result_capacity(self) -> int:
@@ -154,6 +159,20 @@ def _resolve_kernel(config: KingConfig) -> Callable:
             panel_counts_pallas, site_chunk_words=config.site_chunk_words
         )
     raise InvalidArgumentError(f"Unknown kernel: {config.kernel}")
+
+
+def _resolve_indexed_kernel(config: KingConfig) -> Callable | None:
+    """The scalar-prefetch variant (full storage + row offsets, no panel
+    slice copies) when the fast Pallas path is selected; None otherwise."""
+    if not config.indexed_panels or resolve_kernel_name(config) != "pallas":
+        return None
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+
+    return partial(
+        panel_counts_pallas_indexed,
+        panel=config.panel,
+        site_chunk_words=config.site_chunk_words,
+    )
 
 
 class PanelStorage:
@@ -247,6 +266,7 @@ class KingEngine:
         self.storage = storage
         self.logger = logger or StageLogger(enabled=self.config.verbose)
         self._kernel = _resolve_kernel(self.config)
+        self._indexed_kernel = _resolve_indexed_kernel(self.config)
         self._sweep = self._build_sweep()
         self._planes_dev_cache = None
         self._planes_dev_version = None
@@ -317,12 +337,19 @@ class KingEngine:
         i_off, j_off, gi_base, gj_base, ni_valid, nj_valid = (
             row[0], row[1], row[2], row[3], row[4], row[5]
         )
-        pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
-        pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
         # Diagonal panel pairs (same global base) let the Pallas kernel skip
         # lower-triangle tiles; the i<j mask below discards them regardless.
         tri = (gi_base == gj_base).astype(jnp.int32)
-        res = king_from_counts(self._kernel(pi, pj, tri))
+        if self._indexed_kernel is not None:
+            # Scalar-prefetch path: the kernel DMAs its tiles straight out
+            # of the full storage — no [2, panel, W] slice copies (two
+            # ~257 MiB HBM round-trips per step at 1M sites).
+            counts = self._indexed_kernel(planes, i_off, j_off, tri)
+        else:
+            pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, words))
+            pj = lax.dynamic_slice(planes, (0, j_off, 0), (2, panel, words))
+            counts = self._kernel(pi, pj, tri)
+        res = king_from_counts(counts)
 
         local = jnp.arange(panel, dtype=jnp.int32)
         gi = gi_base + local

@@ -61,13 +61,16 @@ def _unpack3(
     order is valid as long as both operands use the same one (bitset.py).
 
     mode="u32": [TI, WC]u32 refs; 32 lane-wise shift-ANDs per word.
-    mode="u8": refs already bitcast to [TI, 4·WC]u8 OUTSIDE the kernel
-    (Mosaic can't change bitwidths in-kernel), so only 8 mask-compares, each
-    covering 4× the sites per vector register — a 4× cut in unpack work.
-    NOTE: u8 currently only runs in interpret mode; the deployed Mosaic
-    can't legalize i8 vector shift/compare ops (kept for future toolchains;
-    at ~94% MXU utilization the u32 unpack is already largely overlapped,
-    so the ceiling on this optimization is ≤6% anyway).
+    mode="u16": refs already bitcast to [TI, 2·WC]u16 OUTSIDE the kernel
+    (Mosaic can't change bitwidths in-kernel), so 16 shift-ANDs each
+    covering 2× the sites per packed vector register — up to a 2× cut in
+    unpack work where Mosaic packs 16-bit lanes.
+    mode="u8": same idea at [TI, 4·WC]u8 with 8 mask-compares (4× cut).
+    NOTE: u8 only runs in interpret mode; the deployed Mosaic can't
+    legalize i8 vector shift/compare ops (kept for future toolchains).
+    At ~94% MXU utilization the u32 unpack is already largely overlapped,
+    so the ceiling on any unpack cut is ≤6%; see docs/PERF.md for the
+    measured verdict on each mode.
     """
     h = het & ~hom
     a = ~het & hom
@@ -80,6 +83,11 @@ def _unpack3(
                 (plane & jnp.uint8(1 << b) > 0).astype(jnp.int8)
                 for b in range(8)
             ]
+        elif mode == "u16":
+            bits = [
+                ((plane >> jnp.uint16(b)) & jnp.uint16(1)).astype(jnp.int8)
+                for b in range(16)
+            ]
         else:
             bits = [
                 ((plane >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.int8)
@@ -89,9 +97,11 @@ def _unpack3(
     return jnp.concatenate(rows, axis=0)  # [3·TI, 32·WC]
 
 
-def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
-                 ch_ref, ss_ref, g_acc, *, ti: int, tj: int, wc: int,
-                 unpack: str = "u32"):
+def _king_body(tri_flag, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
+               ch_ref, ss_ref, g_acc, *, ti: int, tj: int, wc: int,
+               unpack: str = "u32"):
+    """Shared kernel body for both entry points (sliced-panel and
+    scalar-prefetch-indexed)."""
     s = pl.program_id(2)
     ns = pl.num_programs(2)
     # Triangle skip: when the caller marks this panel pair as diagonal
@@ -99,7 +109,7 @@ def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
     # pairs with global i > j, which the epilogue mask discards anyway
     # (cuking.cu:199 contract) — skip their unpack + matmul entirely.  Their
     # output blocks are left unwritten (garbage), masked downstream.
-    active = (tri_ref[0] == 0) | (
+    active = (tri_flag == 0) | (
         pl.program_id(0) * ti <= pl.program_id(1) * tj + (tj - 1)
     )
 
@@ -131,6 +141,20 @@ def _king_kernel(tri_ref, pi_ref, pj_ref, bh_ref, hi_ref, hj_ref, oh_ref,
             ss_ref[:] = DD
             oh_ref[:] = DA + AD - HA - AH - 2 * AA
             ch_ref[:] = DD - DH - DA - HD + HH + HA - AD + AH + 2 * AA
+
+
+def _king_kernel(tri_ref, pi_ref, pj_ref, *rest, ti: int, tj: int, wc: int,
+                 unpack: str = "u32"):
+    _king_body(tri_ref[0], pi_ref, pj_ref, *rest, ti=ti, tj=tj, wc=wc,
+               unpack=unpack)
+
+
+def _king_kernel_indexed(offs_ref, pi_ref, pj_ref, *rest, ti: int, tj: int,
+                         wc: int, unpack: str = "u32"):
+    # offs_ref (scalar prefetch): [3] int32 = (i block base, j block base,
+    # tri flag); the block bases are consumed by the BlockSpec index_maps.
+    _king_body(offs_ref[2], pi_ref, pj_ref, *rest, ti=ti, tj=tj, wc=wc,
+               unpack=unpack)
 
 
 @functools.partial(
@@ -194,16 +218,21 @@ def panel_counts_pallas(
     else:
         tri = jnp.asarray(tri, jnp.int32).reshape((1,))
 
-    if unpack == "u8":
-        # Bitcast to byte lanes in XLA (free: same HBM bytes); the kernel
-        # then unpacks with 8 shift-ANDs instead of 32.
-        planes_i = lax.bitcast_convert_type(planes_i, jnp.uint8).reshape(
-            2, ni, 4 * w
+    if unpack in ("u8", "u16"):
+        # Bitcast to narrower lanes in XLA (free: same HBM bytes); the
+        # kernel then unpacks with 8 (u8) / 16 (u16) shift-ANDs instead
+        # of 32.  Little-endian lane order within each u32 word — a site
+        # permutation both operands share, so counts are unaffected
+        # (site-permutation invariance, bitset.py).
+        sub = {"u8": jnp.uint8, "u16": jnp.uint16}[unpack]
+        ratio = 4 if unpack == "u8" else 2
+        planes_i = lax.bitcast_convert_type(planes_i, sub).reshape(
+            2, ni, ratio * w
         )
-        planes_j = lax.bitcast_convert_type(planes_j, jnp.uint8).reshape(
-            2, nj, 4 * w
+        planes_j = lax.bitcast_convert_type(planes_j, sub).reshape(
+            2, nj, ratio * w
         )
-        in_wc = 4 * wc
+        in_wc = ratio * wc
     else:
         in_wc = wc
 
@@ -241,6 +270,129 @@ def panel_counts_pallas(
         ),
         interpret=interpret,
     )(tri, planes_i, planes_j)
+    bh, hi, hj, oh, ch, ss = outs
+    return KingCounts(
+        both_het=bh, het_i=hi, het_j=hj, opposing_hom=oh,
+        concordant_hom=ch, shared_sites=ss,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "panel", "site_chunk_words", "tile_i", "tile_j", "interpret",
+        "unpack",
+    ),
+)
+def panel_counts_pallas_indexed(
+    planes: jnp.ndarray,
+    i_off: jnp.ndarray,
+    j_off: jnp.ndarray,
+    tri: jnp.ndarray,
+    panel: int,
+    site_chunk_words: int = 128,
+    tile_i: int = TILE_I,
+    tile_j: int = TILE_J,
+    interpret: bool = False,
+    unpack: str = "u32",
+) -> KingCounts:
+    """Six KING counters for the panel pair at rows [i_off, i_off+panel) x
+    [j_off, j_off+panel) of the FULL plane storage, via scalar-prefetch
+    block indexing.
+
+    Same kernel as ``panel_counts_pallas``, but the pallas_call indexes
+    straight into the [2, N, W] storage with the (traced) row offsets fed
+    through scalar prefetch, so the caller does NOT materialize per-panel
+    slices.  The engine's scan body previously dynamic-sliced both panels
+    out of HBM every step — at gnomAD-scale W (1M sites = 125 KiB/row) two
+    ~257 MiB copies per panel pair, pure HBM-bandwidth overhead the
+    reference never pays (its CUDA kernel reads the bitset in place,
+    cuking.cu:218-240).
+
+    ``i_off``/``j_off`` must be multiples of ``panel`` (the engine's
+    storage offsets always are); ``panel`` a multiple of the tile size,
+    W of the site chunk.  ``tri`` as in ``panel_counts_pallas``.
+    """
+    if unpack == "u8" and not interpret:
+        raise NotImplementedError(
+            "unpack='u8' only runs in interpret mode on the current Mosaic "
+            "toolchain (i8 vector compare ops don't legalize); use the "
+            "default unpack='u32' for compiled TPU execution."
+        )
+    n, w = planes.shape[1], planes.shape[2]
+    ti, tj = min(tile_i, panel), min(tile_j, panel)
+    assert panel % ti == 0 and panel % tj == 0, (panel, ti, tj)
+    budget = 10 << 20
+    per_wc = 3 * 32 * (ti + tj)
+    bound = min(site_chunk_words, w, max(1, budget // per_wc))
+    wc = _select_chunk(w, bound, interpret)
+    if wc is None:
+        raise InvalidArgumentError(
+            f"tile_i={ti}/tile_j={tj} leave no Mosaic-legal site chunk "
+            f"within the VMEM budget for W={w}; use smaller tiles."
+        )
+    grid = (panel // ti, panel // tj, w // wc)
+
+    if unpack in ("u8", "u16"):
+        sub = {"u8": jnp.uint8, "u16": jnp.uint16}[unpack]
+        ratio = 4 if unpack == "u8" else 2
+        planes = lax.bitcast_convert_type(planes, sub).reshape(
+            2, n, ratio * w
+        )
+        in_wc = ratio * wc
+    else:
+        in_wc = wc
+
+    # Scalar-prefetch payload: block-unit row bases + the tri flag.  The
+    # index_maps below receive it as their trailing ref argument.
+    offs = jnp.stack(
+        [
+            jnp.asarray(i_off, jnp.int32) // ti,
+            jnp.asarray(j_off, jnp.int32) // tj,
+            jnp.asarray(tri, jnp.int32).reshape(()),
+        ]
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((panel, panel), jnp.int32)] * 6
+    out_spec = pl.BlockSpec((ti, tj), lambda i, j, s, offs: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _king_kernel_indexed, ti=ti, tj=tj, wc=wc, unpack=unpack
+    )
+    flops = 2 * (3 * panel) * (3 * panel) * (32 * w)
+    bytes_accessed = (
+        grid[0] * panel * w * 2 * 4 + panel * w * 2 * 4
+        + 6 * panel * panel * 4
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, ti, in_wc),
+                         lambda i, j, s, offs: (0, offs[0] + i, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tj, in_wc),
+                         lambda i, j, s, offs: (0, offs[1] + j, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 6,
+        scratch_shapes=[pltpu.VMEM((3 * ti, 3 * tj), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
+        ),
+        interpret=interpret,
+        # planes passed for BOTH logical operands; XLA aliases the buffer,
+        # the two BlockSpecs just DMA different row windows from it.
+    )(offs, planes, planes)
     bh, hi, hj, oh, ch, ss = outs
     return KingCounts(
         both_het=bh, het_i=hi, het_j=hj, opposing_hom=oh,

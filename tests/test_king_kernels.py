@@ -26,11 +26,15 @@ KERNELS = {
         jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
         tile_j=8, interpret=True
     ),
-    # u8-bitcast unpack variant: different (but consistent) site permutation,
-    # identical counts.
+    # u8/u16-bitcast unpack variants: different (but consistent) site
+    # permutation, identical counts.
     "pallas_u8": lambda pi, pj: panel_counts_pallas(
         jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
         tile_j=8, interpret=True, unpack="u8"
+    ),
+    "pallas_u16": lambda pi, pj: panel_counts_pallas(
+        jnp.asarray(pi), jnp.asarray(pj), site_chunk_words=8, tile_i=8,
+        tile_j=8, interpret=True, unpack="u16"
     ),
 }
 
@@ -157,3 +161,34 @@ def test_zero_het_pair_produces_ieee_division():
     kin2 = np.asarray(king_from_counts(counts2).kin)
     assert np.isnan(kin2[0, 1])
     assert not (kin2[0, 1] > -np.inf)  # NaN never passes the strict >
+
+
+def test_indexed_matches_sliced_pallas():
+    """panel_counts_pallas_indexed (scalar-prefetch block indexing into the
+    full storage — the engine's no-copy fast path) must produce the same
+    counters as slicing the panels first.  On diagonal panel pairs only the
+    upper-triangle tiles are compared (skipped tiles are garbage by
+    contract)."""
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+
+    g = random_genotypes(64, 700, missing_rate=0.1, seed=3,
+                         num_related_pairs=2)
+    layout = PlaneLayout.create(700, words_multiple=8)
+    planes = jnp.asarray(pack_genotypes(g, layout))
+    panel = 16
+    for i_off, j_off, tri in [(0, 32, 0), (16, 16, 1), (48, 0, 0)]:
+        pi = planes[:, i_off:i_off + panel]
+        pj = planes[:, j_off:j_off + panel]
+        a = panel_counts_pallas(pi, pj, jnp.int32(tri), site_chunk_words=8,
+                                tile_i=8, tile_j=8, interpret=True)
+        b = panel_counts_pallas_indexed(
+            planes, jnp.int32(i_off), jnp.int32(j_off), jnp.int32(tri),
+            panel=panel, site_chunk_words=8, tile_i=8, tile_j=8,
+            interpret=True,
+        )
+        for name in a._fields:
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            if tri:
+                assert np.array_equal(np.triu(x), np.triu(y)), name
+            else:
+                assert np.array_equal(x, y), name
