@@ -394,3 +394,19 @@ def test_cli_max_results_overflow(tmp_path, capsys):
                                        "--max_results", "3"]))
     assert rc == 1
     assert "--max_results" in capsys.readouterr().err
+
+
+def test_baseline_parity_tool_small(tmp_path):
+    """tools/baseline_parity.py — the BASELINE-config parity runner
+    (full-matrix vs independent GEMM oracle, thresholded subset, 10-shard
+    merge) at a CI-sized config; the 1k x 100k run of record is executed
+    from the command line (docs/PARITY.md)."""
+    import importlib
+
+    bp = importlib.import_module("tools.baseline_parity")
+    rc = bp.main([
+        "--samples", "48", "--sites", "1200",
+        "--workdir", str(tmp_path / "bp"), "--split-factor", "2",
+        "--panel", "16",
+    ])
+    assert rc == 0
