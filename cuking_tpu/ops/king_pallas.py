@@ -41,6 +41,14 @@ from cuking_tpu.utils.status import InvalidArgumentError
 TILE_I = 256
 TILE_J = 256
 
+# VMEM spent on the two unpacked int8 tiles per site chunk.  Conservative:
+# v5e has 128 MiB VMEM, but Mosaic's scoped-vmem allocator also holds the
+# double-buffered input blocks, the Gram scratch, and six output tiles, and
+# over-asking fails at compile time (HTTP 500 tpu_compile_helper).  Tunable
+# per call (tools/tune_pallas.py sweeps it — the clamp decides the largest
+# legal site chunk, which sets the accumulator sweep count at long W).
+VMEM_BUDGET = 10 << 20
+
 
 def _select_chunk(w: int, bound: int, interpret: bool) -> int | None:
     """Largest site-chunk (in uint32 words) ≤ bound that divides W and — on
@@ -160,7 +168,8 @@ def _king_kernel_indexed(offs_ref, pi_ref, pj_ref, *rest, ti: int, tj: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "site_chunk_words", "tile_i", "tile_j", "interpret", "unpack"
+        "site_chunk_words", "tile_i", "tile_j", "interpret", "unpack",
+        "vmem_budget",
     ),
 )
 def panel_counts_pallas(
@@ -172,6 +181,7 @@ def panel_counts_pallas(
     tile_j: int = TILE_J,
     interpret: bool = False,
     unpack: str = "u32",
+    vmem_budget: int = VMEM_BUDGET,
 ) -> KingCounts:
     """Six KING counters for an (i-panel, j-panel) pair via the fused Pallas
     kernel.  planes_*: [2, N, W] uint32; N divisible by the tile size, W by
@@ -203,7 +213,7 @@ def panel_counts_pallas(
     # Mosaic compile time with a scoped-vmem OOM).  On the compiled TPU path
     # Mosaic additionally requires the trailing block dim to be a multiple of
     # 128 lanes (or the whole axis).
-    budget = 10 << 20
+    budget = vmem_budget
     per_wc = 3 * 32 * (ti + tj)  # unpacked bytes per word-column
     bound = min(site_chunk_words, w, max(1, budget // per_wc))
     wc = _select_chunk(w, bound, interpret)
@@ -281,7 +291,7 @@ def panel_counts_pallas(
     jax.jit,
     static_argnames=(
         "panel", "site_chunk_words", "tile_i", "tile_j", "interpret",
-        "unpack",
+        "unpack", "vmem_budget",
     ),
 )
 def panel_counts_pallas_indexed(
@@ -295,6 +305,7 @@ def panel_counts_pallas_indexed(
     tile_j: int = TILE_J,
     interpret: bool = False,
     unpack: str = "u32",
+    vmem_budget: int = VMEM_BUDGET,
 ) -> KingCounts:
     """Six KING counters for the panel pair at rows [i_off, i_off+panel) x
     [j_off, j_off+panel) of the FULL plane storage, via scalar-prefetch
@@ -322,7 +333,7 @@ def panel_counts_pallas_indexed(
     n, w = planes.shape[1], planes.shape[2]
     ti, tj = min(tile_i, panel), min(tile_j, panel)
     assert panel % ti == 0 and panel % tj == 0, (panel, ti, tj)
-    budget = 10 << 20
+    budget = vmem_budget
     per_wc = 3 * 32 * (ti + tj)
     bound = min(site_chunk_words, w, max(1, budget // per_wc))
     wc = _select_chunk(w, bound, interpret)

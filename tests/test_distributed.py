@@ -240,3 +240,22 @@ def test_cli_capacity_per_device_flag(tmp_path):
         outs[name] = read_results_table(storage, out_uri)
     assert outs["tiny_cap"].num_rows > 8  # capacity genuinely overflowed
     assert outs["tiny_cap"].equals(outs["single"])
+
+
+def test_scaling_bench_cpu_mesh_schedule():
+    """tools/scaling_bench.py (the hardware-day scaling harness, VERDICT r3
+    #5) — its CPU-mesh mode must validate the multi-chip schedule here:
+    identical hit totals at every D and exit 0.  The TPU mode of the same
+    tool measures pairs/s/chip + ppermute overlap on real hardware."""
+    import importlib
+    import sys
+
+    sb = importlib.import_module("tools.scaling_bench")
+    argv = sys.argv
+    sys.argv = ["scaling_bench", "--devices", "1", "2", "4",
+                "--rows-per-chip", "64", "--sites", "2000"]
+    try:
+        rc = sb.main()
+    finally:
+        sys.argv = argv
+    assert rc == 0

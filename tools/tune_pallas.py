@@ -38,7 +38,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from cuking_tpu.ops.king_pallas import _select_chunk, panel_counts_pallas
+    from cuking_tpu.ops.king_pallas import (
+        _select_chunk,
+        panel_counts_pallas,
+        panel_counts_pallas_indexed,
+    )
 
     panel = args.panel
     # Long sites: fewer resident rows so host gen + upload stay tractable
@@ -46,20 +50,33 @@ def main():
     n_rows = (8 if num_sites > 400_000 else 16) * panel
     rng = np.random.default_rng(0)
 
+    mb = 1 << 20
     configs = [
-        # (words_multiple, site_chunk_words, tile_i, tile_j, unpack)
-        (128, 128, 256, 256, "u32"),   # the deployed default
-        (128, 256, 256, 256, "u32"),   # larger chunk: fewer acc sweeps
-        (128, 384, 256, 256, "u32"),
-        (128, 512, 256, 256, "u32"),
-        (128, 128, 128, 256, "u32"),
-        (128, 256, 128, 256, "u32"),   # small i-tile buys chunk headroom
-        (128, 512, 128, 256, "u32"),
-        (128, 128, 512, 256, "u32"),
-        (128, 128, 256, 512, "u32"),
+        # (words_multiple, site_chunk_words, tile_i, tile_j, unpack,
+        #  vmem_budget, mode)   mode: "sliced" | "indexed"
+        (128, 128, 256, 256, "u32", 10 * mb, "sliced"),  # deployed default
+        # Larger chunks need a raised VMEM budget — at tile 256x256 the
+        # 10 MiB default clamps every request back to 128 (VERDICT r3 #1:
+        # chunk>128 was never actually measured).  Fewer accumulator
+        # sweeps per output tile at long W.
+        (128, 256, 256, 256, "u32", 16 * mb, "sliced"),
+        (128, 384, 256, 256, "u32", 24 * mb, "sliced"),
+        (128, 512, 256, 256, "u32", 32 * mb, "sliced"),
+        (128, 256, 128, 256, "u32", 10 * mb, "sliced"),
+        (128, 512, 128, 256, "u32", 24 * mb, "sliced"),
+        (128, 128, 512, 256, "u32", 16 * mb, "sliced"),
+        (128, 128, 256, 512, "u32", 16 * mb, "sliced"),
+        # u16 unpack: half the shift-AND work per site (2x-packed lanes).
+        (128, 128, 256, 256, "u16", 10 * mb, "sliced"),
+        (128, 256, 256, 256, "u16", 16 * mb, "sliced"),
+        # Scalar-prefetch indexed entry point: no panel slice copies; the
+        # engine's default candidate (KingConfig.indexed_panels).
+        (128, 128, 256, 256, "u32", 10 * mb, "indexed"),
+        (128, 256, 256, 256, "u32", 16 * mb, "indexed"),
+        (128, 512, 256, 256, "u32", 32 * mb, "indexed"),
         # u8 probes whether the Mosaic toolchain learned i8 vector compares
         # (panel_counts_pallas rejects it on compiled TPU until then).
-        (128, 128, 256, 256, "u8"),
+        (128, 128, 256, 256, "u8", 10 * mb, "sliced"),
     ]
     print(f"backend={jax.default_backend()} sites={num_sites} panel={panel} "
           f"rows={n_rows}", file=sys.stderr)
@@ -74,35 +91,47 @@ def main():
     planes.block_until_ready()
 
     seen = set()
-    for wm, chunk, tile_i, tile_j, unpack in configs:
+    for wm, chunk, tile_i, tile_j, unpack, budget, mode in configs:
         assert wm == 128
         # Replicate the kernel's VMEM-budget clamp so the printed chunk is
         # the EFFECTIVE one (a 256 request at tile 256×256 clamps to 128 —
         # silently measuring a duplicate config otherwise).
         per_wc = 3 * 32 * (tile_i + tile_j)
-        bound = min(chunk, words, max(1, (10 << 20) // per_wc))
+        bound = min(chunk, words, max(1, budget // per_wc))
         eff = _select_chunk(words, bound, False)
-        key = (eff, tile_i, tile_j, unpack)
+        key = (eff, tile_i, tile_j, unpack, mode)
         if key in seen:
-            print(f"chunk={chunk:4d} tile={tile_i}x{tile_j}: clamps to "
-                  f"already-measured chunk={eff} — skipped")
+            print(f"chunk={chunk:4d} tile={tile_i}x{tile_j} budget="
+                  f"{budget // mb}M: clamps to already-measured "
+                  f"chunk={eff} — skipped")
             continue
         seen.add(key)
         chunk = eff
 
         @partial(jax.jit, static_argnums=(1,))
         def chain(planes, k_steps, _chunk=chunk, _ti=tile_i, _tj=tile_j,
-                  _words=words, _unpack=unpack):
+                  _words=words, _unpack=unpack, _budget=budget, _mode=mode):
             def step(acc, k):
-                pj = lax.dynamic_slice(
-                    planes, (0, (k % (n_rows // panel)) * panel, 0),
-                    (2, panel, _words)
-                )
-                pi = lax.dynamic_slice(planes, (0, 0, 0), (2, panel, _words))
-                c = panel_counts_pallas(
-                    pi, pj, site_chunk_words=_chunk,
-                    tile_i=_ti, tile_j=_tj, unpack=_unpack,
-                )
+                j_off = (k % (n_rows // panel)) * panel
+                if _mode == "indexed":
+                    c = panel_counts_pallas_indexed(
+                        planes, jnp.int32(0), j_off.astype(jnp.int32),
+                        jnp.int32(0), panel=panel, site_chunk_words=_chunk,
+                        tile_i=_ti, tile_j=_tj, unpack=_unpack,
+                        vmem_budget=_budget,
+                    )
+                else:
+                    pj = lax.dynamic_slice(
+                        planes, (0, j_off, 0), (2, panel, _words)
+                    )
+                    pi = lax.dynamic_slice(
+                        planes, (0, 0, 0), (2, panel, _words)
+                    )
+                    c = panel_counts_pallas(
+                        pi, pj, site_chunk_words=_chunk,
+                        tile_i=_ti, tile_j=_tj, unpack=_unpack,
+                        vmem_budget=_budget,
+                    )
                 consumed = (
                     c.both_het + c.het_i + c.het_j + c.opposing_hom
                     + c.concordant_hom + c.shared_sites
@@ -123,13 +152,15 @@ def main():
             pairs_s = panel * panel / dt
             print(
                 f"wm={wm:4d} chunk={chunk:4d} tile={tile_i:3d}x{tile_j:3d} "
-                f"unpack={unpack:4s} W={words:5d}: "
+                f"unpack={unpack:4s} budget={budget // mb:3d}M "
+                f"mode={mode:7s} W={words:5d}: "
                 f"{dt*1e3:7.2f} ms/panel-pair  {pairs_s/1e6:7.1f} M pairs/s"
             )
         except Exception as e:
             msg = str(e).split("\n")[0][:120]
             print(f"wm={wm} chunk={chunk} tile={tile_i}x{tile_j} "
-                  f"unpack={unpack}: FAILED {type(e).__name__}: {msg}")
+                  f"unpack={unpack} budget={budget // mb}M mode={mode}: "
+                  f"FAILED {type(e).__name__}: {msg}")
 
 
 if __name__ == "__main__":
