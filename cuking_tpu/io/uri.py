@@ -136,6 +136,12 @@ class Storage:
                     # UserProject option (cuking.cu:472-477).
                     opts["requester_pays"] = True
                     opts["project"] = self.requester_pays_project
+                # Connection-pool sizing (cuking.cu:470-471 raises
+                # google-cloud-cpp's small default to the reader thread
+                # count): not needed here — gcsfs rides one aiohttp
+                # ClientSession whose default TCPConnector allows 100
+                # concurrent connections, already above the 36-thread
+                # reader fan-in (io/parquet_ingest.py).
                 self._fs_cache[scheme] = fsspec.filesystem(scheme, **opts)
             except (ImportError, ValueError) as e:
                 # gcsfs missing -> ImportError; unknown protocol -> ValueError.

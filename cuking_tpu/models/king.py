@@ -83,6 +83,11 @@ class KingConfig:
     # gnomAD-scale W the slices are ~257 MiB of pure HBM copy per step.
     # Off switch exists for A/B measurement (tools/tune_pallas.py).
     indexed_panels: bool = False
+    # Pallas only: VMEM spent on the unpacked int8 tiles per site chunk
+    # (0 = the kernel's conservative default).  Governs the largest legal
+    # site chunk — raising it trades VMEM for fewer accumulator sweeps at
+    # long W (tools/tune_pallas.py sweeps the combinations).
+    vmem_budget: int = 0
     verbose: bool = False
 
     def resolved_result_capacity(self) -> int:
@@ -153,10 +158,12 @@ def _resolve_kernel(config: KingConfig) -> Callable:
     if name == "matmul":
         return partial(panel_counts_matmul, site_chunk_words=config.site_chunk_words)
     if name == "pallas":
-        from cuking_tpu.ops.king_pallas import panel_counts_pallas
+        from cuking_tpu.ops.king_pallas import VMEM_BUDGET, panel_counts_pallas
 
         return partial(
-            panel_counts_pallas, site_chunk_words=config.site_chunk_words
+            panel_counts_pallas,
+            site_chunk_words=config.site_chunk_words,
+            vmem_budget=config.vmem_budget or VMEM_BUDGET,
         )
     raise InvalidArgumentError(f"Unknown kernel: {config.kernel}")
 
@@ -166,12 +173,16 @@ def _resolve_indexed_kernel(config: KingConfig) -> Callable | None:
     slice copies) when the fast Pallas path is selected; None otherwise."""
     if not config.indexed_panels or resolve_kernel_name(config) != "pallas":
         return None
-    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+    from cuking_tpu.ops.king_pallas import (
+        VMEM_BUDGET,
+        panel_counts_pallas_indexed,
+    )
 
     return partial(
         panel_counts_pallas_indexed,
         panel=config.panel,
         site_chunk_words=config.site_chunk_words,
+        vmem_budget=config.vmem_budget or VMEM_BUDGET,
     )
 
 

@@ -306,6 +306,7 @@ def panel_counts_pallas_indexed(
     interpret: bool = False,
     unpack: str = "u32",
     vmem_budget: int = VMEM_BUDGET,
+    planes_j: jnp.ndarray | None = None,
 ) -> KingCounts:
     """Six KING counters for the panel pair at rows [i_off, i_off+panel) x
     [j_off, j_off+panel) of the FULL plane storage, via scalar-prefetch
@@ -323,6 +324,11 @@ def panel_counts_pallas_indexed(
     ``i_off``/``j_off`` must be multiples of ``panel`` (the engine's
     storage offsets always are); ``panel`` a multiple of the tile size,
     W of the site chunk.  ``tri`` as in ``panel_counts_pallas``.
+
+    ``planes_j``: optional second storage for the j rows (defaults to
+    ``planes``) — lets ring-style callers index the i-panel out of their
+    resident block and the j-panel out of the rotating buffer without
+    slicing either.
     """
     if unpack == "u8" and not interpret:
         raise NotImplementedError(
@@ -330,7 +336,11 @@ def panel_counts_pallas_indexed(
             "toolchain (i8 vector compare ops don't legalize); use the "
             "default unpack='u32' for compiled TPU execution."
         )
+    if planes_j is None:
+        planes_j = planes
     n, w = planes.shape[1], planes.shape[2]
+    assert planes_j.shape[0] == 2 and planes_j.shape[2] == w, planes_j.shape
+    nj = planes_j.shape[1]
     ti, tj = min(tile_i, panel), min(tile_j, panel)
     assert panel % ti == 0 and panel % tj == 0, (panel, ti, tj)
     budget = vmem_budget
@@ -349,6 +359,9 @@ def panel_counts_pallas_indexed(
         ratio = 4 if unpack == "u8" else 2
         planes = lax.bitcast_convert_type(planes, sub).reshape(
             2, n, ratio * w
+        )
+        planes_j = lax.bitcast_convert_type(planes_j, sub).reshape(
+            2, nj, ratio * w
         )
         in_wc = ratio * wc
     else:
@@ -401,9 +414,9 @@ def panel_counts_pallas_indexed(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0,
         ),
         interpret=interpret,
-        # planes passed for BOTH logical operands; XLA aliases the buffer,
+        # In the default planes_j-is-planes case XLA aliases the buffer;
         # the two BlockSpecs just DMA different row windows from it.
-    )(offs, planes, planes)
+    )(offs, planes, planes_j)
     bh, hi, hj, oh, ch, ss = outs
     return KingCounts(
         both_het=bh, het_i=hi, het_j=hj, opposing_hom=oh,

@@ -192,3 +192,18 @@ def test_indexed_matches_sliced_pallas():
                 assert np.array_equal(np.triu(x), np.triu(y)), name
             else:
                 assert np.array_equal(x, y), name
+
+    # Two-buffer form (ring-style: i from one storage, j from another).
+    c = panel_counts_pallas_indexed(
+        planes[:, :32], jnp.int32(16), jnp.int32(16), jnp.int32(0),
+        panel=panel, site_chunk_words=8, tile_i=8, tile_j=8,
+        interpret=True, planes_j=planes[:, 32:],
+    )
+    ref = panel_counts_pallas(
+        planes[:, 16:32], planes[:, 48:64], jnp.int32(0),
+        site_chunk_words=8, tile_i=8, tile_j=8, interpret=True,
+    )
+    for name in ref._fields:
+        assert np.array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(c, name))
+        ), name
