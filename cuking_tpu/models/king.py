@@ -88,6 +88,9 @@ class KingConfig:
     # site chunk — raising it trades VMEM for fewer accumulator sweeps at
     # long W (tools/tune_pallas.py sweeps the combinations).
     vmem_budget: int = 0
+    # Pallas only: run the kernel in interpret mode (tests/CPU — lets the
+    # engine's pallas wiring, incl. indexed_panels, run without a TPU).
+    pallas_interpret: bool = False
     verbose: bool = False
 
     def resolved_result_capacity(self) -> int:
@@ -164,6 +167,7 @@ def _resolve_kernel(config: KingConfig) -> Callable:
             panel_counts_pallas,
             site_chunk_words=config.site_chunk_words,
             vmem_budget=config.vmem_budget or VMEM_BUDGET,
+            interpret=config.pallas_interpret,
         )
     raise InvalidArgumentError(f"Unknown kernel: {config.kernel}")
 
@@ -183,6 +187,7 @@ def _resolve_indexed_kernel(config: KingConfig) -> Callable | None:
         panel=config.panel,
         site_chunk_words=config.site_chunk_words,
         vmem_budget=config.vmem_budget or VMEM_BUDGET,
+        interpret=config.pallas_interpret,
     )
 
 

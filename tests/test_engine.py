@@ -215,3 +215,45 @@ def test_engine_single_result_fetch():
         king_mod._slice_hits = orig
     assert len(calls) == 1  # one fetch for the entire sweep
     assert_resultsets_equal(got, oracle_resultset(g, 0.0884))
+
+
+def test_engine_pallas_indexed_matches_sliced_and_matmul():
+    """The engine's Pallas paths (sliced and scalar-prefetch indexed,
+    interpret mode so they run on CPU) must produce the matmul engine's
+    results bit-exactly — covers the indexed wiring inside the batched
+    scan (traced offsets -> scalar prefetch; tri flag per step)."""
+    g = random_genotypes(48, 700, missing_rate=0.08, seed=11,
+                         num_related_pairs=3)
+    results = {}
+    for name, extra in [
+        ("matmul", dict(kernel="matmul")),
+        ("pallas_sliced", dict(kernel="pallas", pallas_interpret=True,
+                               indexed_panels=False)),
+        ("pallas_indexed", dict(kernel="pallas", pallas_interpret=True,
+                                indexed_panels=True)),
+    ]:
+        cfg = KingConfig(panel=16, site_chunk_words=8, kin_threshold=-2.0,
+                         max_results=48 * 48, sweep_batch=4, **extra)
+        results[name] = KingEngine.from_genotypes(g, cfg).run()
+    base = results["matmul"]
+    assert len(base) == 48 * 47 // 2 - _nonfinite_pairs(g)
+    for name in ("pallas_sliced", "pallas_indexed"):
+        rs = results[name]
+        assert len(rs) == len(base), name
+        assert np.array_equal(rs.i_idx, base.i_idx), name
+        assert np.array_equal(rs.j_idx, base.j_idx), name
+        assert np.array_equal(rs.kin.view(np.uint32),
+                              base.kin.view(np.uint32)), name
+        for f in ("ibs0", "ibs1", "ibs2"):
+            assert np.array_equal(getattr(rs, f), getattr(base, f)), (name, f)
+
+
+def _nonfinite_pairs(g):
+    """Pairs whose kin is NaN/-inf (zero min-hets) — excluded even by a
+    catch-all threshold's strict >."""
+    from cuking_tpu.ops.oracle import oracle_king as _ok
+
+    kin = _ok(g, g)[0]
+    n = g.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+    return int(np.sum(~np.isfinite(kin[iu, ju])))
