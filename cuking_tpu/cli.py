@@ -437,16 +437,11 @@ def run(args: argparse.Namespace) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    # Honor JAX_PLATFORMS explicitly: some deployments register a TPU
-    # backend via a site hook that bypasses JAX's own env-var handling, so
-    # `JAX_PLATFORMS=cpu python -m cuking_tpu.cli ...` would silently (or,
-    # with the TPU runtime unreachable, hangingly) still pick the TPU.
-    platforms = os.environ.get("JAX_PLATFORMS")
-    if platforms and platforms != "axon":
-        import jax
-
-        jax.config.update("jax_platforms", platforms)
+    # Parse first: --help and bad-flag exits must not pay the jax import.
     args = build_parser().parse_args(argv)
+    from cuking_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()
     try:
         run(args)
     except CukingError as e:

@@ -11,6 +11,7 @@ Arrow C++ decode path is the same either way.
 
 from __future__ import annotations
 
+import glob
 import os
 import posixpath
 from dataclasses import dataclass, field
@@ -197,6 +198,15 @@ class Storage:
         fs, path = self._fs_for(uri)
         if fs is None:
             os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
+            # Sweep temp remnants of a previously-killed writer for this
+            # partition (one orphan per crash would otherwise accumulate
+            # forever — partitions are single-writer by shard design, so
+            # any existing temp is dead).
+            for stale in glob.glob(f"{glob.escape(uri)}.tmp-*"):
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass
             return _AtomicLocalFile(uri)
         return fs.open(path, "wb")
 

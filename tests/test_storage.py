@@ -129,3 +129,20 @@ def test_cli_end_to_end_over_memory_fs(memfs):
     )
     # Idempotent restart: --skip_existing sees the partition over fsspec.
     assert cli.main(argv + ["--skip_existing"]) == 0
+
+
+def test_open_write_sweeps_stale_temp(tmp_path):
+    """A temp file orphaned by a killed writer (different pid suffix) is
+    removed when the partition is rewritten — crashes must not accumulate
+    dead multi-GB temps next to the committed part files."""
+    import os
+
+    final = str(tmp_path / "part-00000.snappy.parquet")
+    stale = final + ".tmp-99999"
+    with open(stale, "wb") as f:
+        f.write(b"dead")
+    with Storage().open_write(final) as f:
+        f.write(b"good")
+    assert not os.path.exists(stale)
+    with open(final, "rb") as f:
+        assert f.read() == b"good"

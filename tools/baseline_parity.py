@@ -124,6 +124,7 @@ def scalar_spot_check(g, counts, num_pairs, seed):
     rng = np.random.default_rng(seed)
     n = g.shape[0]
     pairs = {(0, 1), (0, 2), (0, 3), (0, 4), (5, 6), (6, 7)}
+    num_pairs = min(num_pairs, n * (n - 1) // 2)  # else the draw loop spins
     while len(pairs) < num_pairs:
         i, j = rng.integers(0, n, 2)
         if i < j:
@@ -246,10 +247,9 @@ def main(argv=None) -> int:
                     help="keep workdir artifacts")
     args = ap.parse_args(argv)
 
-    if os.environ.get("JAX_PLATFORMS") not in (None, "", "axon"):
-        import jax
+    from cuking_tpu.utils.platform import apply_platform_override
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    apply_platform_override()
 
     from cuking_tpu.io.synthetic_input import write_synthetic_input
     from cuking_tpu.io.uri import Storage
@@ -257,6 +257,9 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     n, s = args.samples, args.sites
+    if n < 9:
+        ap.error("--samples must be >= 9 (samples 0-7 carry grafted edge "
+                 "cases; at least one regular sample is needed)")
     panel = args.panel or min(256, max(64, 1 << (n - 1).bit_length() >> 2))
     wd = args.workdir
     shutil.rmtree(wd, ignore_errors=True)

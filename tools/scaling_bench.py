@@ -51,14 +51,10 @@ def main() -> int:
     ap.add_argument("--trace-dir", default="/tmp/cuking_scaling_trace")
     args = ap.parse_args()
 
-    import os
+    from cuking_tpu.utils.platform import apply_platform_override
 
+    apply_platform_override()
     import jax
-
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # The build box's site hook force-registers the TPU backend and
-        # ignores the env var; the config update actually takes effect.
-        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -90,6 +86,11 @@ def main() -> int:
     ))
     ds = args.devices or list(range(1, len(devices) + 1))
     ds = sorted(set(d for d in ds if 1 <= d <= len(devices)))
+    if not ds:
+        print(f"No requested device count is available: asked for "
+              f"{args.devices}, have {len(devices)} device(s).",
+              file=sys.stderr)
+        return 1
 
     layout = PlaneLayout.create(num_sites, words_multiple=chunk)
     max_rows = rows_per_chip * max(ds)
@@ -173,12 +174,23 @@ def main() -> int:
               f"({ring_num_steps(d)} ring steps, {hits} hits)",
               file=sys.stderr)
 
-    base = results[0]["pairs_per_sec_per_chip"]
+    # Efficiency denominator: the single-device measurement.  If D=1 was
+    # not swept, fall back to the smallest D measured — but say so, since
+    # the BASELINE >=85% target is defined against one chip.
+    one = next((r for r in results if r["devices"] == 1), None)
+    base_r = one or results[0]
+    base = base_r["pairs_per_sec_per_chip"]
+    eff_key = ("efficiency_vs_1dev" if one is not None
+               else f"efficiency_vs_{base_r['devices']}dev")
+    if one is None:
+        print(f"WARNING: D=1 not in the sweep; efficiency is relative to "
+              f"D={base_r['devices']} (add 1 to --devices for the real "
+              f"per-chip baseline).", file=sys.stderr)
     for r in results:
-        r["efficiency_vs_1dev"] = round(r["pairs_per_sec_per_chip"] / base, 3)
+        r[eff_key] = round(r["pairs_per_sec_per_chip"] / base, 3)
 
     overlap = None
-    if on_tpu and len(ds) > 1 and max(ds) > 1:
+    if on_tpu and max(ds) > 1:
         # Trace one sweep at the largest D and measure ppermute overlap.
         from tools.trace_report import ppermute_overlap
 
@@ -210,7 +222,7 @@ def main() -> int:
     if on_tpu and not args.no_assert:
         bad = [r for r in results
                if r["devices"] >= 2
-               and r["efficiency_vs_1dev"] < args.min_efficiency]
+               and r[eff_key] < args.min_efficiency]
         if bad:
             print(f"FAIL: scaling efficiency below "
                   f"{args.min_efficiency}: {bad}", file=sys.stderr)

@@ -74,22 +74,40 @@ def analyze(trace_dir: str) -> dict:
 def _intervals(trace_dir: str) -> dict:
     """(start_ns, end_ns) interval lists per category from the xplane's
     device planes — sync ("XLA Ops") and async ("Async XLA Ops") lines both
-    contribute, since collectives show up as async start/done pairs."""
+    contribute, since collectives show up as async start/done pairs.
+    Pools ALL device planes — only valid for whole-trace aggregates."""
+    out = collections.defaultdict(list)
+    for per_cat in _intervals_per_plane(trace_dir).values():
+        for cat, ivs in per_cat.items():
+            out[cat].extend(ivs)
+    return out
+
+
+def _intervals_per_plane(trace_dir: str) -> dict:
+    """{device plane name: {category: [(start_ns, end_ns), ...]}}.
+
+    Overlap questions (does THIS device's permute hide under THIS device's
+    compute?) must be answered per plane: pooling planes lets one device's
+    kernel 'cover' another device's collective, faking overlap on a
+    phase-staggered ring."""
     from jax.profiler import ProfileData
 
     path = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))[-1]
     pd = ProfileData.from_file(path)
-    out = collections.defaultdict(list)
+    out = {}
     for plane in pd.planes:
         if "TPU" not in plane.name:
             continue
+        per_cat = collections.defaultdict(list)
         for line in plane.lines:
             if line.name not in ("XLA Ops", "Async XLA Ops"):
                 continue
             for e in line.events:
-                out[classify(e.name)].append(
+                per_cat[classify(e.name)].append(
                     (e.start_ns, e.start_ns + e.duration_ns)
                 )
+        if per_cat:
+            out[plane.name] = per_cat
     return out
 
 
@@ -100,33 +118,39 @@ def ppermute_overlap(trace_dir: str) -> dict | None:
     (parallel/ring.py).  Returns None when the trace holds no
     collective-permute events (D=1: XLA compiles the self-permute away).
     Used by tools/scaling_bench.py on real multi-chip hardware."""
-    iv = _intervals(trace_dir)
-    cps = sorted(iv.get("collective-permute", []))
-    if not cps:
+    total = covered = nev = 0
+    # Per device plane: a permute only counts as overlapped if THIS
+    # device's kernels cover it (cross-plane pooling would credit another
+    # chip's compute on a phase-staggered ring).
+    for per_cat in _intervals_per_plane(trace_dir).values():
+        cps = sorted(per_cat.get("collective-permute", []))
+        if not cps:
+            continue
+        kernels = sorted(per_cat.get("kernel (Mosaic custom-call)", []))
+        # Union of kernel intervals, then per-cp overlap via merge scan.
+        merged = []
+        for s, e in kernels:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        nev += len(cps)
+        total += sum(e - s for s, e in cps)
+        ki = 0
+        for s, e in cps:
+            while ki < len(merged) and merged[ki][1] <= s:
+                ki += 1
+            kj = ki
+            while kj < len(merged) and merged[kj][0] < e:
+                covered += min(e, merged[kj][1]) - max(s, merged[kj][0])
+                kj += 1
+    if nev == 0:
         return None
-    kernels = sorted(iv.get("kernel (Mosaic custom-call)", []))
-    # Union of kernel intervals, then per-cp overlapped time via merge scan.
-    merged = []
-    for s, e in kernels:
-        if merged and s <= merged[-1][1]:
-            merged[-1][1] = max(merged[-1][1], e)
-        else:
-            merged.append([s, e])
-    total = sum(e - s for s, e in cps)
-    covered = 0
-    ki = 0
-    for s, e in cps:
-        while ki < len(merged) and merged[ki][1] <= s:
-            ki += 1
-        kj = ki
-        while kj < len(merged) and merged[kj][0] < e:
-            covered += min(e, merged[kj][1]) - max(s, merged[kj][0])
-            kj += 1
     return {
         "collective_permute_ms": total / 1e6,
         "overlapped_ms": covered / 1e6,
         "overlap_fraction": covered / max(total, 1),
-        "num_events": len(cps),
+        "num_events": nev,
     }
 
 

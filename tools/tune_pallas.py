@@ -57,23 +57,24 @@ def main():
         (128, 128, 256, 256, "u32", 10 * mb, "sliced"),  # deployed default
         # Larger chunks need a raised VMEM budget — at tile 256x256 the
         # 10 MiB default clamps every request back to 128 (VERDICT r3 #1:
-        # chunk>128 was never actually measured).  Fewer accumulator
-        # sweeps per output tile at long W.
-        (128, 256, 256, 256, "u32", 16 * mb, "sliced"),
-        (128, 384, 256, 256, "u32", 24 * mb, "sliced"),
-        (128, 512, 256, 256, "u32", 32 * mb, "sliced"),
-        (128, 256, 128, 256, "u32", 10 * mb, "sliced"),
-        (128, 512, 128, 256, "u32", 24 * mb, "sliced"),
+        # chunk>128 was never actually measured).  Chunk must also DIVIDE
+        # the padded W as a 128-multiple: at wm=128 cohorts (100k → 3200 =
+        # 128·25; 1M → 31360 = 128·245) the realizable sizes are 128 and
+        # 640 (and 896 at 1M only) — 256/384/512 never divide W.  Fewer
+        # accumulator sweeps per output tile at long W.
+        (128, 640, 256, 256, "u32", 32 * mb, "sliced"),
+        (128, 896, 256, 256, "u32", 48 * mb, "sliced"),
+        (128, 640, 128, 256, "u32", 24 * mb, "sliced"),
         (128, 128, 512, 256, "u32", 16 * mb, "sliced"),
         (128, 128, 256, 512, "u32", 16 * mb, "sliced"),
         # u16 unpack: half the shift-AND work per site (2x-packed lanes).
         (128, 128, 256, 256, "u16", 10 * mb, "sliced"),
-        (128, 256, 256, 256, "u16", 16 * mb, "sliced"),
+        (128, 640, 256, 256, "u16", 32 * mb, "sliced"),
         # Scalar-prefetch indexed entry point: no panel slice copies; the
         # engine's default candidate (KingConfig.indexed_panels).
         (128, 128, 256, 256, "u32", 10 * mb, "indexed"),
-        (128, 256, 256, 256, "u32", 16 * mb, "indexed"),
-        (128, 512, 256, 256, "u32", 32 * mb, "indexed"),
+        (128, 640, 256, 256, "u32", 32 * mb, "indexed"),
+        (128, 896, 256, 256, "u32", 48 * mb, "indexed"),
         # u8 probes whether the Mosaic toolchain learned i8 vector compares
         # (panel_counts_pallas rejects it on compiled TPU until then).
         (128, 128, 256, 256, "u8", 10 * mb, "sliced"),
