@@ -26,8 +26,35 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _tpu_is_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the TPU runtime in a killable subprocess.
+
+    The tunneled TPU backend hangs indefinitely inside jax.devices() when
+    the tunnel is down — an in-process call would wedge the whole bench.
+    A subprocess probe can be SIGKILLed on timeout, letting the bench fall
+    back to an honest CPU run (still one JSON line) instead of hanging."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() == 'tpu'"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if not _tpu_is_reachable():
+        log("TPU runtime unreachable (tunnel down?); falling back to CPU "
+            "— throughput below is NOT the chip number")
+        # The site hook force-registers the TPU plugin and ignores the
+        # JAX_PLATFORMS env var; the config update is the reliable switch.
+        jax.config.update("jax_platforms", "cpu")
 
     try:  # persistent compile cache: repeated bench runs skip the slow compile
         jax.config.update("jax_compilation_cache_dir", ".jax_cache")
