@@ -115,7 +115,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
     With --distributed the mesh spans every chip in the pod slice and each
     host extracts only its own devices' result buffers (share-nothing
     outputs, like the reference's independent shards, README.md:102)."""
-    from cuking_tpu.models.king import _resolve_kernel
+    from cuking_tpu.models.king import _resolve_indexed_kernel, _resolve_kernel
     from cuking_tpu.parallel.distributed import HostShardedStorage
     from cuking_tpu.parallel.ring import (
         all_pairs_presharded,
@@ -153,6 +153,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
                 sub_panel=config.panel,
                 row_multiple=_mesh_row_multiple(config),
                 row_offset=begin,
+                indexed_kernel=_resolve_indexed_kernel(config),
             )
         else:
             (i_begin, i_count), (j_begin, j_count) = panel_storage.ranges
@@ -166,6 +167,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
                 max_results=args.max_results,
                 sub_panel=config.panel,
                 row_multiple=_mesh_row_multiple(config),
+                indexed_kernel=_resolve_indexed_kernel(config),
             )
     else:
         # Ring sweep of THIS shard (any --split_factor): a diagonal shard
@@ -180,6 +182,7 @@ def _run_mesh_sweep(args, panel_storage, metadata, config, logger):
             row_multiple=_mesh_row_multiple(config),
             max_results=args.max_results,
             sub_panel=config.panel,
+            indexed_kernel=_resolve_indexed_kernel(config),
         )
     if args.distributed:
         return ring_output_local_resultset(out, args.max_results)

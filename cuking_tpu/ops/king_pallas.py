@@ -291,7 +291,7 @@ def panel_counts_pallas(
     jax.jit,
     static_argnames=(
         "panel", "site_chunk_words", "tile_i", "tile_j", "interpret",
-        "unpack", "vmem_budget",
+        "unpack", "vmem_budget", "panel_j",
     ),
 )
 def panel_counts_pallas_indexed(
@@ -307,9 +307,10 @@ def panel_counts_pallas_indexed(
     unpack: str = "u32",
     vmem_budget: int = VMEM_BUDGET,
     planes_j: jnp.ndarray | None = None,
+    panel_j: int | None = None,
 ) -> KingCounts:
     """Six KING counters for the panel pair at rows [i_off, i_off+panel) x
-    [j_off, j_off+panel) of the FULL plane storage, via scalar-prefetch
+    [j_off, j_off+panel_j) of the FULL plane storage, via scalar-prefetch
     block indexing.
 
     Same kernel as ``panel_counts_pallas``, but the pallas_call indexes
@@ -329,6 +330,10 @@ def panel_counts_pallas_indexed(
     ``planes``) — lets ring-style callers index the i-panel out of their
     resident block and the j-panel out of the rotating buffer without
     slicing either.
+
+    ``panel_j``: optional j-range row count (defaults to ``panel``) — the
+    ring's wrap-split and off-diagonal rectangular sweeps use asymmetric
+    sub-tiles (parallel/ring.py), so the two block edges are independent.
     """
     if unpack == "u8" and not interpret:
         raise NotImplementedError(
@@ -338,11 +343,13 @@ def panel_counts_pallas_indexed(
         )
     if planes_j is None:
         planes_j = planes
+    if panel_j is None:
+        panel_j = panel
     n, w = planes.shape[1], planes.shape[2]
     assert planes_j.shape[0] == 2 and planes_j.shape[2] == w, planes_j.shape
     nj = planes_j.shape[1]
-    ti, tj = min(tile_i, panel), min(tile_j, panel)
-    assert panel % ti == 0 and panel % tj == 0, (panel, ti, tj)
+    ti, tj = min(tile_i, panel), min(tile_j, panel_j)
+    assert panel % ti == 0 and panel_j % tj == 0, (panel, panel_j, ti, tj)
     budget = vmem_budget
     per_wc = 3 * 32 * (ti + tj)
     bound = min(site_chunk_words, w, max(1, budget // per_wc))
@@ -352,7 +359,7 @@ def panel_counts_pallas_indexed(
             f"tile_i={ti}/tile_j={tj} leave no Mosaic-legal site chunk "
             f"within the VMEM budget for W={w}; use smaller tiles."
         )
-    grid = (panel // ti, panel // tj, w // wc)
+    grid = (panel // ti, panel_j // tj, w // wc)
 
     if unpack in ("u8", "u16"):
         sub = {"u8": jnp.uint8, "u16": jnp.uint16}[unpack]
@@ -377,17 +384,17 @@ def panel_counts_pallas_indexed(
         ]
     )
 
-    out_shape = [jax.ShapeDtypeStruct((panel, panel), jnp.int32)] * 6
+    out_shape = [jax.ShapeDtypeStruct((panel, panel_j), jnp.int32)] * 6
     out_spec = pl.BlockSpec((ti, tj), lambda i, j, s, offs: (i, j),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _king_kernel_indexed, ti=ti, tj=tj, wc=wc, unpack=unpack
     )
-    flops = 2 * (3 * panel) * (3 * panel) * (32 * w)
+    flops = 2 * (3 * panel) * (3 * panel_j) * (32 * w)
     bytes_accessed = (
-        grid[0] * panel * w * 2 * 4 + panel * w * 2 * 4
-        + 6 * panel * panel * 4
+        grid[0] * panel_j * w * 2 * 4 + panel * w * 2 * 4
+        + 6 * panel * panel_j * 4
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

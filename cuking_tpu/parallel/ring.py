@@ -154,6 +154,7 @@ def _ring_fn(
     sub_panel: int | None = None,
     row_offset: int = 0,
     row_multiple: int = 1,
+    indexed_kernel: Callable | None = None,
 ):
     """Per-device SPMD body.  The nd×nd pair block of each ring step is
     processed in ``sub_panel``-sized sub-tiles (an inner lax.scan), so
@@ -208,6 +209,17 @@ def _ring_fn(
     def slice_rows(planes, k):
         return lax.dynamic_slice(planes, (0, k * p, 0), (2, p, words))
 
+    def sub_counts(src_j, ii, jj, tri):
+        """Counts for sub-tile (ii, jj) of (local_planes × src_j): through
+        the scalar-prefetch indexed kernel when available (no [2, p, W]
+        slice copies out of HBM — at gnomAD-scale W those cost more HBM
+        traffic per step than the panels themselves), else by slicing."""
+        if indexed_kernel is not None:
+            return indexed_kernel(
+                local_planes, ii * p, jj * p, tri, panel=p, planes_j=src_j
+            )
+        return kernel(slice_rows(local_planes, ii), slice_rows(src_j, jj), tri)
+
     out0 = empty_result_buffers(capacity)
 
     # The first rotation is issued BEFORE the local-triangle phase: the hop
@@ -229,11 +241,7 @@ def _ring_fn(
     def tri_body(carry, pair):
         out, running = carry
         ii, jj = pair[0], pair[1]
-        counts = kernel(
-            slice_rows(local_planes, ii),
-            slice_rows(local_planes, jj),
-            (ii == jj).astype(jnp.int32),
-        )
+        counts = sub_counts(local_planes, ii, jj, (ii == jj).astype(jnp.int32))
         out, running = emit(
             out, running, counts, gi0 + ii * p, gi0 + jj * p, ii == jj
         )
@@ -252,11 +260,7 @@ def _ring_fn(
         def sub_body(carry2, pair):
             out2, running2 = carry2
             ii, jj = pair[0], pair[1]
-            counts = kernel(
-                slice_rows(local_planes, ii),
-                slice_rows(buf, jj),
-                jnp.int32(0),
-            )
+            counts = sub_counts(buf, ii, jj, jnp.int32(0))
             return emit(
                 out2, running2, counts,
                 gi0 + ii * p, row_offset + owner * nd + jj * p,
@@ -301,19 +305,38 @@ def _ring_fn(
             gj_owner = row_offset + owner * nd
 
             def low(carry):
-                counts = kernel(
-                    lax.slice_in_dim(local_planes, 0, p1, axis=1),
-                    buf,
-                    jnp.int32(0),
-                )
+                if indexed_kernel is not None:
+                    counts = indexed_kernel(
+                        local_planes, 0, 0, jnp.int32(0),
+                        panel=p1, panel_j=p, planes_j=buf,
+                    )
+                else:
+                    counts = kernel(
+                        lax.slice_in_dim(local_planes, 0, p1, axis=1),
+                        buf,
+                        jnp.int32(0),
+                    )
                 return emit(*carry, counts, gi0, gj_owner, jnp.bool_(False))
 
             def high(carry):
-                counts = kernel(
-                    local_planes,
-                    lax.slice_in_dim(buf, p1, p, axis=1),
-                    jnp.int32(0),
-                )
+                # j_off = p1 must land on a j-tile boundary of the indexed
+                # kernel (tj = min(tile, p - p1)); true for every reachable
+                # pallas config (p1 and p - p1 are row_multiple- or
+                # half-split-aligned), but guard statically and fall back
+                # to the sliced call rather than mis-index.
+                if indexed_kernel is not None and (
+                    p1 % row_multiple == 0 or p1 == p - p1
+                ):
+                    counts = indexed_kernel(
+                        local_planes, 0, p1, jnp.int32(0),
+                        panel=p, panel_j=p - p1, planes_j=buf,
+                    )
+                else:
+                    counts = kernel(
+                        local_planes,
+                        lax.slice_in_dim(buf, p1, p, axis=1),
+                        jnp.int32(0),
+                    )
                 return emit(
                     *carry, counts, gi0, gj_owner + p1, jnp.bool_(False)
                 )
@@ -362,6 +385,7 @@ def _rect_ring_fn(
     capacity: int,
     sub_panel_i: int | None,
     sub_panel_j: int | None,
+    indexed_kernel: Callable | None = None,
 ):
     """Per-device SPMD body for an OFF-DIAGONAL Submatrix shard: every pair
     (r, c) with r in the shard's row block and c in its column block
@@ -414,11 +438,21 @@ def _rect_ring_fn(
         def go(carry, pair):
             out2, running2 = carry
             ii, jj = pair[0], pair[1]
-            counts = kernel(
-                lax.dynamic_slice(local_i, (0, ii * p_i, 0), (2, p_i, words)),
-                lax.dynamic_slice(buf, (0, jj * p_j, 0), (2, p_j, words)),
-                jnp.int32(0),
-            )
+            if indexed_kernel is not None:
+                counts = indexed_kernel(
+                    local_i, ii * p_i, jj * p_j, jnp.int32(0),
+                    panel=p_i, panel_j=p_j, planes_j=buf,
+                )
+            else:
+                counts = kernel(
+                    lax.dynamic_slice(
+                        local_i, (0, ii * p_i, 0), (2, p_i, words)
+                    ),
+                    lax.dynamic_slice(
+                        buf, (0, jj * p_j, 0), (2, p_j, words)
+                    ),
+                    jnp.int32(0),
+                )
             return emit(
                 out2, running2, counts,
                 gi0 + ii * p_i, j_offset + owner * nd_j + jj * p_j,
@@ -478,6 +512,7 @@ def all_pairs_sharded(
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
     row_offset: int = 0,
+    indexed_kernel: Callable | None = None,
 ) -> RingOutput:
     """Runs the ring sweep over the mesh; returns per-device compacted hits.
 
@@ -495,7 +530,7 @@ def all_pairs_sharded(
         kin_threshold=kin_threshold, capacity_per_device=capacity_per_device,
         max_results=max_results, auto_retry=auto_retry,
         sub_panel=sub_panel, row_multiple=row_multiple,
-        row_offset=row_offset,
+        row_offset=row_offset, indexed_kernel=indexed_kernel,
     )
 
 
@@ -512,6 +547,7 @@ def all_pairs_presharded(
     sub_panel: int | None = 1024,
     row_multiple: int = 1,
     row_offset: int = 0,
+    indexed_kernel: Callable | None = None,
 ) -> RingOutput:
     """Ring sweep over an ALREADY sample-sharded global plane array.
 
@@ -534,7 +570,7 @@ def all_pairs_presharded(
     def run(capacity: int) -> RingOutput:
         fn = _compiled_ring(
             kernel, mesh, num_devices, num_samples, capacity, p, row_offset,
-            row_multiple,
+            row_multiple, indexed_kernel,
         )
         return fn(planes_sharded, jnp.float32(kin_threshold))
 
@@ -584,6 +620,7 @@ def rect_pairs_sharded(
     max_results: int | None = None,
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
+    indexed_kernel: Callable | None = None,
 ) -> RingOutput:
     """Ring sweep of an OFF-DIAGONAL Submatrix shard over the mesh: all
     pairs (r, c), r in the i-range, c in the j-range (disjoint global
@@ -599,6 +636,7 @@ def rect_pairs_sharded(
         i_offset=i_offset, j_offset=j_offset, kin_threshold=kin_threshold,
         capacity_per_device=capacity_per_device, row_multiple=row_multiple,
         max_results=max_results, auto_retry=auto_retry, sub_panel=sub_panel,
+        indexed_kernel=indexed_kernel,
     )
 
 
@@ -618,6 +656,7 @@ def rect_pairs_presharded(
     max_results: int | None = None,
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
+    indexed_kernel: Callable | None = None,
 ) -> RingOutput:
     """Rectangular ring over ALREADY-sharded i/j plane arrays — the
     multi-host entry point (each host materializes only its devices' blocks
@@ -631,7 +670,7 @@ def rect_pairs_presharded(
     def run(capacity: int) -> RingOutput:
         fn = _compiled_rect_ring(
             kernel, mesh, num_devices, i_offset, i_count, j_offset, j_count,
-            capacity, p_i, p_j,
+            capacity, p_i, p_j, indexed_kernel,
         )
         return fn(pi_sharded, pj_sharded, jnp.float32(kin_threshold))
 
@@ -649,6 +688,7 @@ def submatrix_pairs_sharded(
     max_results: int | None = None,
     auto_retry: bool = True,
     sub_panel: int | None = 1024,
+    indexed_kernel: Callable | None = None,
 ) -> RingOutput:
     """Sweeps ONE Submatrix shard (any split_factor) over the mesh ring:
     a diagonal shard is the balanced triangular ring over its block with a
@@ -669,6 +709,7 @@ def submatrix_pairs_sharded(
             auto_retry=auto_retry,
             sub_panel=sub_panel,
             row_offset=sm.i_begin,
+            indexed_kernel=indexed_kernel,
         )
     return rect_pairs_sharded(
         storage.planes[:, : storage.j_store_base],
@@ -685,6 +726,7 @@ def submatrix_pairs_sharded(
         max_results=max_results,
         auto_retry=auto_retry,
         sub_panel=sub_panel,
+        indexed_kernel=indexed_kernel,
     )
 
 
@@ -700,7 +742,7 @@ _RING_OUT_SPECS = RingOutput(
 @lru_cache(maxsize=32)
 def _compiled_ring(
     kernel, mesh, num_devices, num_samples, capacity, sub_panel, row_offset,
-    row_multiple,
+    row_multiple, indexed_kernel=None,
 ):
     """Jitted shard_map sweep, cached so repeated invocations (retries, CLI
     re-runs, benchmarks) skip re-tracing the whole sub-tiled scan — tracing a
@@ -717,6 +759,7 @@ def _compiled_ring(
             sub_panel=sub_panel,
             row_offset=row_offset,
             row_multiple=row_multiple,
+            indexed_kernel=indexed_kernel,
         ),
         mesh=mesh,
         in_specs=(P(None, AXIS, None), P()),
@@ -729,7 +772,7 @@ def _compiled_ring(
 @lru_cache(maxsize=32)
 def _compiled_rect_ring(
     kernel, mesh, num_devices, i_offset, i_count, j_offset, j_count,
-    capacity, sub_panel_i, sub_panel_j,
+    capacity, sub_panel_i, sub_panel_j, indexed_kernel=None,
 ):
     fn = jax.shard_map(
         partial(
@@ -743,6 +786,7 @@ def _compiled_rect_ring(
             capacity=capacity,
             sub_panel_i=sub_panel_i,
             sub_panel_j=sub_panel_j,
+            indexed_kernel=indexed_kernel,
         ),
         mesh=mesh,
         in_specs=(P(None, AXIS, None), P(None, AXIS, None), P()),

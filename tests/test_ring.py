@@ -467,3 +467,98 @@ def test_ring_auto_retry_without_explicit_max_results():
     exp = oracle_resultset(g, -2.0)
     assert len(exp) > 8
     assert_resultsets_equal(got, exp)
+
+
+# -- scalar-prefetch indexed kernel inside the ring (round 4) ----------------
+
+
+def _pallas_sliced(pi, pj, tri):
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas
+
+    return panel_counts_pallas(
+        pi, pj, tri, site_chunk_words=8, tile_i=8, tile_j=8, interpret=True,
+    )
+
+
+def _pallas_indexed(planes, i_off, j_off, tri, **kw):
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+
+    return panel_counts_pallas_indexed(
+        planes, i_off, j_off, tri, site_chunk_words=8, tile_i=8, tile_j=8,
+        interpret=True, **kw,
+    )
+
+
+def test_ring_indexed_kernel_matches_sliced():
+    """The scalar-prefetch indexed kernel inside the shard_map ring (no
+    per-sub-tile panel slice copies) must be bit-identical to the sliced
+    path and to the oracle — triangular ring incl. tri diagonal sub-tiles."""
+    g = random_genotypes(60, 256, missing_rate=0.1, seed=41,
+                         num_related_pairs=3)
+    layout = PlaneLayout.create(256, words_multiple=8)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+
+    runs = {}
+    for name, idx in (("sliced", None), ("indexed", _pallas_indexed)):
+        out = all_pairs_sharded(
+            planes, 60, mesh, _pallas_sliced,
+            kin_threshold=0.05, capacity_per_device=4096, row_multiple=8,
+            sub_panel=8, indexed_kernel=idx,
+        )
+        runs[name] = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(runs["indexed"], exp)
+    assert_resultsets_equal(runs["indexed"], runs["sliced"])
+    assert np.array_equal(
+        runs["indexed"].kin.view(np.uint32), runs["sliced"].kin.view(np.uint32)
+    )
+
+
+def test_ring_indexed_wrap_split_single_subtile():
+    """Even-D wrap with ns == 1 drives the indexed kernel's asymmetric
+    (panel, panel_j) entry — both devices' half-blocks must still partition
+    the wrap block exactly and match the oracle."""
+    g = random_genotypes(32, 200, missing_rate=0.0, seed=51)
+    layout = PlaneLayout.create(200, words_multiple=8)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(2)
+    out = all_pairs_sharded(
+        planes, 32, mesh, _pallas_sliced,
+        kin_threshold=-2.0, capacity_per_device=1024, row_multiple=8,
+        sub_panel=None, indexed_kernel=_pallas_indexed,  # ns == 1
+    )
+    counts = np.asarray(out.counts)
+    assert counts.sum() == 32 * 31 // 2
+    assert counts[0] == counts[1] == 120 + 128, counts
+    got = ring_output_to_resultset(out)
+    assert_resultsets_equal(got, oracle_resultset(g, -2.0))
+
+
+@pytest.mark.parametrize("shard", [0, 1, 2])
+def test_submatrix_ring_indexed_matches_sliced(shard):
+    """split_factor=2 shards through the mesh ring with the indexed kernel:
+    diagonal shards (0, 2) drive the offset triangular ring, shard 1 the
+    rectangular j-rotating ring (asymmetric planes_j buffer indexing)."""
+    from cuking_tpu.parallel.ring import submatrix_pairs_sharded
+    from cuking_tpu.parallel.submatrix import Submatrix
+
+    g = random_genotypes(64, 256, missing_rate=0.1, seed=42,
+                         num_related_pairs=4)
+    layout = PlaneLayout.create(256, words_multiple=8)
+    mesh = make_mesh(4)
+    sm = Submatrix.create(64, 2, shard)
+    runs = {}
+    for name, idx in (("sliced", None), ("indexed", _pallas_indexed)):
+        out = submatrix_pairs_sharded(
+            shard_storage(g, layout, sm, panel=8), mesh, _pallas_sliced,
+            kin_threshold=-2.0, capacity_per_device=4096, sub_panel=8,
+            row_multiple=8, indexed_kernel=idx,
+        )
+        runs[name] = ring_output_to_resultset(out)
+    assert len(runs["indexed"]) > 0
+    assert_resultsets_equal(runs["indexed"], runs["sliced"])
+    assert np.array_equal(
+        runs["indexed"].kin.view(np.uint32), runs["sliced"].kin.view(np.uint32)
+    )

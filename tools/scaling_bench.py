@@ -63,7 +63,9 @@ def main() -> int:
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from cuking_tpu.models.king import KingConfig, _resolve_kernel
+    from cuking_tpu.models.king import (
+        KingConfig, _resolve_indexed_kernel, _resolve_kernel,
+    )
     from cuking_tpu.ops.bitset import PlaneLayout, allocate_planes, pack_genotypes
     from cuking_tpu.parallel.ring import (
         all_pairs_presharded, ring_global_counts, ring_num_steps,
@@ -80,10 +82,15 @@ def main() -> int:
     chunk = 128 if on_tpu else 16
     sub_panel = 1024 if on_tpu else 32
     row_multiple = 256 if on_tpu else 1
-    kernel = _resolve_kernel(KingConfig(
+    bench_config = KingConfig(
         kernel="pallas" if on_tpu else "matmul",
         panel=sub_panel, site_chunk_words=chunk,
-    ))
+        # indexed_panels inherits the KingConfig default so this bench always
+        # measures the engine's production path (scalar-prefetch once the
+        # TPU A/B flips the default).
+    )
+    kernel = _resolve_kernel(bench_config)
+    indexed_kernel = _resolve_indexed_kernel(bench_config)
     ds = args.devices or list(range(1, len(devices) + 1))
     ds = sorted(set(d for d in ds if 1 <= d <= len(devices)))
     if not ds:
@@ -137,7 +144,7 @@ def main() -> int:
         )
         ring_args = dict(
             capacity_per_device=1 << 16, sub_panel=sub_panel,
-            row_multiple=row_multiple,
+            row_multiple=row_multiple, indexed_kernel=indexed_kernel,
         )
         out = all_pairs_presharded(
             planes_sharded, n, mesh, kernel,
@@ -205,6 +212,7 @@ def main() -> int:
             out = all_pairs_presharded(
                 planes_sharded, n, mesh, kernel, kin_threshold=threshold + 0.01,
                 capacity_per_device=1 << 16, sub_panel=sub_panel,
+                indexed_kernel=indexed_kernel,
                 row_multiple=row_multiple,
             )
             jax.block_until_ready(out.counts)
