@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default="", help=(
         "If set, capture a jax.profiler trace of the sweep into this "
         "directory (view with TensorBoard / xprof)"))
+    p.add_argument("--indexed_panels", action=argparse.BooleanOptionalAction,
+                   default=None, help=(
+        "Pallas kernel panel addressing: scalar-prefetch indexing straight "
+        "into HBM storage (no per-step panel slice copies) vs sliced "
+        "panels. Default: the engine's tuned default (KingConfig)"))
     p.add_argument("--quiet", action="store_true", help="Suppress stage logs")
     return p
 
@@ -338,6 +343,9 @@ def run(args: argparse.Namespace) -> None:
 
     shard_n = max(submatrix.num_rows, submatrix.num_cols, 1)
     panel = min(args.panel, max(128, _ceil_pow2(shard_n)))
+    config_kw = {}
+    if args.indexed_panels is not None:
+        config_kw["indexed_panels"] = args.indexed_panels
     config = KingConfig(
         kin_threshold=args.kin_threshold,
         max_results=args.max_results,
@@ -345,6 +353,7 @@ def run(args: argparse.Namespace) -> None:
         kernel=args.kernel,
         result_capacity=args.result_capacity,
         verbose=not args.quiet,
+        **config_kw,
     )
 
     layout = PlaneLayout.create(metadata.num_sites)

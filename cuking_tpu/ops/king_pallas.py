@@ -287,6 +287,39 @@ def panel_counts_pallas(
     )
 
 
+def panel_counts_pallas_indexed(
+    planes: jnp.ndarray,
+    i_off: jnp.ndarray,
+    j_off: jnp.ndarray,
+    tri: jnp.ndarray,
+    panel: int,
+    site_chunk_words: int = 128,
+    tile_i: int = TILE_I,
+    tile_j: int = TILE_J,
+    interpret: bool = False,
+    unpack: str = "u32",
+    vmem_budget: int = VMEM_BUDGET,
+    planes_j: jnp.ndarray | None = None,
+    panel_j: int | None = None,
+) -> KingCounts:
+    """Unjitted entry: validates what can only be checked OUTSIDE jit —
+    static (Python-int) row offsets against the selected tile sizes; under
+    jit they become tracers before any isinstance test could see them.
+    Full contract on ``_panel_counts_pallas_indexed`` below."""
+    pj = panel if panel_j is None else panel_j
+    ti, tj = min(tile_i, panel), min(tile_j, pj)
+    for off, t, name in ((i_off, ti, "i_off"), (j_off, tj, "j_off")):
+        if isinstance(off, int) and off % t:
+            raise InvalidArgumentError(
+                f"{name}={off} is not a multiple of the selected tile {t}; "
+                "the block index would floor to the wrong row window."
+            )
+    return _panel_counts_pallas_indexed(
+        planes, i_off, j_off, tri, panel, site_chunk_words, tile_i, tile_j,
+        interpret, unpack, vmem_budget, planes_j, panel_j,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -294,7 +327,7 @@ def panel_counts_pallas(
         "unpack", "vmem_budget", "panel_j",
     ),
 )
-def panel_counts_pallas_indexed(
+def _panel_counts_pallas_indexed(
     planes: jnp.ndarray,
     i_off: jnp.ndarray,
     j_off: jnp.ndarray,
@@ -322,9 +355,15 @@ def panel_counts_pallas_indexed(
     reference never pays (its CUDA kernel reads the bitset in place,
     cuking.cu:218-240).
 
-    ``i_off``/``j_off`` must be multiples of ``panel`` (the engine's
-    storage offsets always are); ``panel`` a multiple of the tile size,
-    W of the site chunk.  ``tri`` as in ``panel_counts_pallas``.
+    ``i_off``/``j_off`` must be multiples of the SELECTED tile sizes
+    (``ti = min(tile_i, panel)``, ``tj = min(tile_j, panel_j)``) — the
+    block index is ``off // tile``, so a misaligned offset floor-divides
+    to the wrong row window silently.  Offsets that are multiples of the
+    panel edge always qualify (``panel % ti == 0`` is asserted), which is
+    what the engine and the ring pass; static (Python-int) offsets are
+    checked here, traced ones are the caller's contract.  ``panel`` a
+    multiple of the tile size, W of the site chunk.  ``tri`` as in
+    ``panel_counts_pallas``.
 
     ``planes_j``: optional second storage for the j rows (defaults to
     ``planes``) — lets ring-style callers index the i-panel out of their

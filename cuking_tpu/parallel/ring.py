@@ -319,24 +319,18 @@ def _ring_fn(
                 return emit(*carry, counts, gi0, gj_owner, jnp.bool_(False))
 
             def high(carry):
-                # j_off = p1 must land on a j-tile boundary of the indexed
-                # kernel (tj = min(tile, p - p1)); true for every reachable
-                # pallas config (p1 and p - p1 are row_multiple- or
-                # half-split-aligned), but guard statically and fall back
-                # to the sliced call rather than mis-index.
-                if indexed_kernel is not None and (
-                    p1 % row_multiple == 0 or p1 == p - p1
-                ):
-                    counts = indexed_kernel(
-                        local_planes, 0, p1, jnp.int32(0),
-                        panel=p, panel_j=p - p1, planes_j=buf,
-                    )
-                else:
-                    counts = kernel(
-                        local_planes,
-                        lax.slice_in_dim(buf, p1, p, axis=1),
-                        jnp.int32(0),
-                    )
+                # Always sliced here: j_off = p1 would have to land on a
+                # j-tile boundary of the indexed kernel, whose tile is
+                # tj = min(tile_j, p - p1) — a quantum this layer cannot
+                # see (row_multiple tracks tile_i only), and a misaligned
+                # offset floor-divides to the WRONG visitor window
+                # (silently wrong kinship).  The wrap step is one of D
+                # ring steps, so the single slice copy is noise.
+                counts = kernel(
+                    local_planes,
+                    lax.slice_in_dim(buf, p1, p, axis=1),
+                    jnp.int32(0),
+                )
                 return emit(
                     *carry, counts, gi0, gj_owner + p1, jnp.bool_(False)
                 )

@@ -207,3 +207,28 @@ def test_indexed_matches_sliced_pallas():
         assert np.array_equal(
             np.asarray(getattr(ref, name)), np.asarray(getattr(c, name))
         ), name
+
+
+def test_indexed_kernel_rejects_misaligned_static_offsets():
+    """Static (Python-int) offsets not aligned to the SELECTED tile must be
+    rejected — a misaligned offset floor-divides to the wrong row window
+    (round-4 review finding), so the contract is enforced where it can be."""
+    import numpy as np
+
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+    from cuking_tpu.utils.status import InvalidArgumentError
+
+    planes = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 2**32, (2, 48, 8), dtype=np.uint32
+        )
+    )
+    with pytest.raises(InvalidArgumentError, match="selected tile"):
+        panel_counts_pallas_indexed(
+            planes, 0, 8, jnp.int32(0), panel=24, panel_j=16, interpret=True,
+        )
+    # Aligned static offsets are fine (j_off=16 is a tj=16 multiple).
+    counts = panel_counts_pallas_indexed(
+        planes, 0, 16, jnp.int32(0), panel=24, panel_j=16, interpret=True,
+    )
+    assert counts.both_het.shape == (24, 16)

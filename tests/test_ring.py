@@ -562,3 +562,38 @@ def test_submatrix_ring_indexed_matches_sliced(shard):
     assert np.array_equal(
         runs["indexed"].kin.view(np.uint32), runs["sliced"].kin.view(np.uint32)
     )
+
+
+def _pallas_indexed_default_tiles(planes, i_off, j_off, tri, **kw):
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+
+    return panel_counts_pallas_indexed(
+        planes, i_off, j_off, tri, interpret=True, **kw,
+    )
+
+
+def test_ring_indexed_wrap_split_misaligned_tiles():
+    """Round-4 review bug: D=2 wrap with ns == 1 and p1 NOT aligned to the
+    indexed kernel's clamped j tile (here p=24, p1=8, tj=min(256, 16)=16).
+    The high half must not mis-index the visitor window — it takes the
+    sliced path; results must equal the all-sliced run bit-exactly."""
+    g = random_genotypes(48, 200, missing_rate=0.0, seed=52,
+                         num_related_pairs=3)
+    layout = PlaneLayout.create(200, words_multiple=8)
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(2)
+    runs = {}
+    for name, idx in (("sliced", None),
+                      ("indexed", _pallas_indexed_default_tiles)):
+        out = all_pairs_sharded(
+            planes, 48, mesh, _pallas_sliced,
+            kin_threshold=-2.0, capacity_per_device=4096, row_multiple=8,
+            sub_panel=None, indexed_kernel=idx,
+        )
+        runs[name] = ring_output_to_resultset(out)
+    assert len(runs["indexed"]) == 48 * 47 // 2
+    assert_resultsets_equal(runs["indexed"], runs["sliced"])
+    assert np.array_equal(
+        runs["indexed"].kin.view(np.uint32), runs["sliced"].kin.view(np.uint32)
+    )
+    assert_resultsets_equal(runs["indexed"], oracle_resultset(g, -2.0))

@@ -25,13 +25,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from cuking_tpu.ops.bitset import PlaneLayout
 from cuking_tpu.parallel.ring import default_capacity_per_device
 from cuking_tpu.parallel.submatrix import num_shards
-from cuking_tpu.utils.hbm import (
-    _ceil_to,
-    _worst_ring_shard_bytes,
-    ring_shard_bytes,
-)
+from cuking_tpu.utils.hbm import _USABLE_FRACTION, _worst_ring_shard_bytes
 
 # Per-chip envelopes.  int8 TOPS are the public peak numbers; the measured
 # MXU efficiency comes from this repo's bench on the v5e (BENCH_r03:
@@ -44,13 +41,14 @@ CHIPS = {
     "v5p": {"int8_tops": 918e12, "hbm_bytes": 95 << 30},
 }
 MEASURED_MXU_EFFICIENCY = 0.90
-USABLE_HBM_FRACTION = 0.92  # mirrors hbm._USABLE_FRACTION
 FLOPS_PER_SITE_PAIR = 18    # 2 × (3 indicator planes)² / 2… see king_mm.py
 SCALING_EFFICIENCY = 0.85   # BASELINE.md multi-host target we hold ourselves to
 
 
-def padded_words(num_sites: int, words_multiple: int = 128) -> int:
-    return _ceil_to(-(-num_sites // 32), words_multiple)
+def padded_words(num_sites: int) -> int:
+    """The engine's actual padded word count (PlaneLayout default layout),
+    not a re-derivation — so plan sizes track what will really allocate."""
+    return PlaneLayout.create(num_sites).words
 
 
 def pairs_per_sec_per_chip(chip: str, num_sites: int) -> float:
@@ -109,7 +107,7 @@ def build_plan(
     max_results: int = 10 << 20,
 ) -> dict:
     words = padded_words(num_sites)
-    limit = int(CHIPS[chip]["hbm_bytes"] * USABLE_HBM_FRACTION)
+    limit = int(CHIPS[chip]["hbm_bytes"] * _USABLE_FRACTION)
     k = minimal_split_factor(
         num_samples, words, num_devices, limit,
         panel=panel, row_multiple=row_multiple, max_results=max_results,
@@ -128,9 +126,8 @@ def build_plan(
         return plan
 
     capacity = default_capacity_per_device(max_results, num_devices)
-    block = -(-num_samples // k)
-    worst_b = ring_shard_bytes(
-        block, block, k == 1, words, panel, row_multiple, num_devices,
+    worst_b = _worst_ring_shard_bytes(
+        num_samples, k, words, panel, row_multiple, num_devices,
         capacity, max_results,
     )
     rate_chip = pairs_per_sec_per_chip(chip, num_sites)
