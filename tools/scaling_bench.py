@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--min-efficiency", type=float, default=0.85)
     ap.add_argument("--no-assert", action="store_true")
     ap.add_argument("--trace-dir", default="/tmp/cuking_scaling_trace")
+    ap.add_argument("--indexed-panels", action=argparse.BooleanOptionalAction,
+                    default=None, help=(
+        "Override KingConfig.indexed_panels for the ring sweep "
+        "(A/B the scalar-prefetch path on hardware)"))
     args = ap.parse_args()
 
     from cuking_tpu.utils.platform import apply_platform_override
@@ -82,12 +86,14 @@ def main() -> int:
     chunk = 128 if on_tpu else 16
     sub_panel = 1024 if on_tpu else 32
     row_multiple = 256 if on_tpu else 1
+    config_kw = {}
+    if args.indexed_panels is not None:
+        config_kw["indexed_panels"] = args.indexed_panels
+    # Without the override, indexed_panels inherits the KingConfig default
+    # so this bench always measures the engine's production path.
     bench_config = KingConfig(
         kernel="pallas" if on_tpu else "matmul",
-        panel=sub_panel, site_chunk_words=chunk,
-        # indexed_panels inherits the KingConfig default so this bench always
-        # measures the engine's production path (scalar-prefetch once the
-        # TPU A/B flips the default).
+        panel=sub_panel, site_chunk_words=chunk, **config_kw,
     )
     kernel = _resolve_kernel(bench_config)
     indexed_kernel = _resolve_indexed_kernel(bench_config)
