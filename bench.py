@@ -343,10 +343,12 @@ def main():
         return [round(r * 1e3, 1) for r in runs]
 
     print(json.dumps({
-        "metric": f"sample-pairs/sec/chip @ {num_sites} sites (KING kinship+IBS)",
+        "metric": f"sample-pairs/sec/chip @ {num_sites} sites (KING kinship+IBS)"
+                  + ("" if on_tpu else " [CPU FALLBACK — not a chip number]"),
         "value": round(pairs_per_sec),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / base_pairs_per_sec, 2),
+        "backend": backend,
         "diagnostics": {
             "sweep_runs_ms": ms(sweep_runs),
             "sweep_ms_min_median_max": [
