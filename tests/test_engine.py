@@ -257,3 +257,38 @@ def _nonfinite_pairs(g):
     n = g.shape[0]
     iu, ju = np.triu_indices(n, k=1)
     return int(np.sum(~np.isfinite(kin[iu, ju])))
+
+
+def test_engine_split_w_layout_matches_matmul():
+    """A words_multiple=64 layout (W=192: >128 and not a 128-multiple)
+    drives the kernel's site-axis split — the 128-aligned prefix plus the
+    full-axis remainder call — through the full engine sweep.  The sliced
+    path splits in-kernel; the indexed path degrades to panel slices + the
+    split (king_pallas.py).  Both must match the matmul engine bit-exactly
+    on the same layout."""
+    g = random_genotypes(40, 6100, missing_rate=0.08, seed=13,
+                         num_related_pairs=3)
+    results = {}
+    for name, extra in [
+        ("matmul", dict(kernel="matmul")),
+        ("pallas_sliced", dict(kernel="pallas", pallas_interpret=True,
+                               indexed_panels=False)),
+        ("pallas_indexed", dict(kernel="pallas", pallas_interpret=True,
+                                indexed_panels=True)),
+    ]:
+        cfg = KingConfig(panel=16, site_chunk_words=128, kin_threshold=-2.0,
+                         max_results=40 * 40, sweep_batch=4, **extra)
+        eng = KingEngine.from_genotypes(g, cfg, words_multiple=64)
+        assert eng.storage.layout.words == 192  # the split-needing shape
+        results[name] = eng.run()
+    base = results["matmul"]
+    assert len(base) == 40 * 39 // 2 - _nonfinite_pairs(g)
+    for name in ("pallas_sliced", "pallas_indexed"):
+        rs = results[name]
+        assert len(rs) == len(base), name
+        assert np.array_equal(rs.i_idx, base.i_idx), name
+        assert np.array_equal(rs.j_idx, base.j_idx), name
+        assert np.array_equal(rs.kin.view(np.uint32),
+                              base.kin.view(np.uint32)), name
+        for f in ("ibs0", "ibs1", "ibs2"):
+            assert np.array_equal(getattr(rs, f), getattr(base, f)), (name, f)

@@ -232,3 +232,71 @@ def test_indexed_kernel_rejects_misaligned_static_offsets():
         planes, 0, 16, jnp.int32(0), panel=24, panel_j=16, interpret=True,
     )
     assert counts.both_het.shape == (24, 16)
+
+
+def test_split_w_nonmultiple_of_128_matches_oracle():
+    """W > 128 that is not a 128-multiple (words_multiple=64 layouts, which
+    cut site padding) runs as a 128-aligned prefix + full-axis remainder
+    pair of pallas calls (Mosaic lane rule); counts stay bit-exact under
+    both the u32 and u16 unpack modes."""
+    num_sites = 192 * 32 - 5  # W = 192 at wm=64 → split 128 + 64
+    g = random_genotypes(
+        16, num_sites, missing_rate=0.1, seed=31, num_related_pairs=2
+    )
+    layout = PlaneLayout.create(num_sites, words_multiple=64)
+    assert layout.words == 192 and layout.words % 128 != 0
+    planes = jnp.asarray(pack_genotypes(g, layout))
+    expected = oracle_counts(g, g)
+    for unpack in ("u32", "u16"):
+        got = panel_counts_pallas(
+            planes, planes, site_chunk_words=128, tile_i=8, tile_j=8,
+            interpret=True, unpack=unpack,
+        )
+        for name, exp, act in zip(KingCounts._fields, expected, got):
+            assert np.array_equal(np.asarray(act), exp), (name, unpack)
+
+
+def test_split_w_triangle_skip_upper_tiles_exact():
+    """The tri skip composes with the site-axis split: both halves skip the
+    same below-diagonal tiles (garbage + garbage), and every on/above-
+    diagonal tile remains exact."""
+    num_sites = 192 * 32
+    g = random_genotypes(
+        32, num_sites, missing_rate=0.1, seed=33, num_related_pairs=2
+    )
+    layout = PlaneLayout.create(num_sites, words_multiple=64)
+    planes = jnp.asarray(pack_genotypes(g, layout))
+    tile = 8
+    got = panel_counts_pallas(
+        planes, planes, jnp.int32(1), site_chunk_words=128,
+        tile_i=tile, tile_j=tile, interpret=True,
+    )
+    expected = oracle_counts(g, g)
+    for name, exp, act in zip(KingCounts._fields, expected, got):
+        act = np.asarray(act)
+        for bi in range(32 // tile):
+            for bj in range(bi, 32 // tile):
+                sl = np.s_[
+                    bi * tile:(bi + 1) * tile, bj * tile:(bj + 1) * tile
+                ]
+                assert np.array_equal(act[sl], exp[sl]), (name, bi, bj)
+
+
+def test_indexed_fallback_for_split_w_matches_oracle():
+    """A split-needing W degrades the indexed entry to panel slices + the
+    sliced path's split (full-storage slices would copy the whole bitset);
+    results must equal the oracle for the addressed row windows."""
+    from cuking_tpu.ops.king_pallas import panel_counts_pallas_indexed
+
+    num_sites = 192 * 32
+    g = random_genotypes(24, num_sites, missing_rate=0.1, seed=34)
+    layout = PlaneLayout.create(num_sites, words_multiple=64)
+    assert layout.words == 192
+    planes = jnp.asarray(pack_genotypes(g, layout))
+    got = panel_counts_pallas_indexed(
+        planes, jnp.int32(8), jnp.int32(16), jnp.int32(0), panel=8,
+        site_chunk_words=128, tile_i=8, tile_j=8, interpret=True,
+    )
+    expected = oracle_counts(g[8:16], g[16:24])
+    for name, exp, act in zip(KingCounts._fields, expected, got):
+        assert np.array_equal(np.asarray(act), exp), name

@@ -78,29 +78,51 @@ def main():
         # u8 probes whether the Mosaic toolchain learned i8 vector compares
         # (panel_counts_pallas rejects it on compiled TPU until then).
         (128, 128, 256, 256, "u8", 10 * mb, "sliced"),
+        # words_multiple=64: site padding drops from 2.4% to 0.35% at 100k
+        # sites (pure wasted MXU work), paid for by the kernel's site-axis
+        # split — a second pallas call covering the <128-word remainder at
+        # a full-axis chunk (king_pallas.py).  Also probes whether Mosaic
+        # accepts the full-axis (non-128-multiple) trailing block dim the
+        # split relies on.
+        (64, 128, 256, 256, "u32", 10 * mb, "sliced"),
+        (64, 128, 256, 256, "u16", 10 * mb, "sliced"),
     ]
     print(f"backend={jax.default_backend()} sites={num_sites} panel={panel} "
           f"rows={n_rows}", file=sys.stderr)
 
-    # All configs share words_multiple=128 → same padded W; generate and
-    # upload the planes ONCE (at W=31360 this is a 2 GB array — per-config
-    # regeneration would dominate the sweep on this 1-vCPU box).
+    # Generate and upload the wm=128 planes ONCE (at W=31360 this is a 2 GB
+    # array — per-config regeneration would dominate the sweep on this
+    # 1-vCPU box).  wm=64 configs reuse a device-side PREFIX slice: the
+    # 64-padded W is always ≤ the 128-padded W, and the content beyond the
+    # real sites is padding either way.
     words = -(-(-(-num_sites // 32)) // 128) * 128
+    words64 = -(-(-(-num_sites // 32)) // 64) * 64
     planes = jnp.asarray(
         rng.integers(0, 2**32, (2, n_rows, words), dtype=np.uint32)
     )
     planes.block_until_ready()
+    planes_by_wm = {128: (planes, words)}
+    if words64 != words:
+        planes_by_wm[64] = (planes[:, :, :words64], words64)
+    else:  # 64- and 128-padding coincide: the wm=64 configs are duplicates
+        planes_by_wm[64] = (planes, words)
 
     seen = set()
     for wm, chunk, tile_i, tile_j, unpack, budget, mode in configs:
-        assert wm == 128
+        planes_sel, words_sel = planes_by_wm[wm]
         # Replicate the kernel's VMEM-budget clamp so the printed chunk is
         # the EFFECTIVE one (a 256 request at tile 256×256 clamps to 128 —
-        # silently measuring a duplicate config otherwise).
+        # silently measuring a duplicate config otherwise).  A split-W
+        # layout's effective chunk is the MAIN (128-aligned prefix) call's.
+        w_main = (
+            words_sel
+            if words_sel <= 128 or words_sel % 128 == 0
+            else words_sel - (words_sel % 128)
+        )
         per_wc = 3 * 32 * (tile_i + tile_j)
-        bound = min(chunk, words, max(1, budget // per_wc))
-        eff = _select_chunk(words, bound, False)
-        key = (eff, tile_i, tile_j, unpack, mode)
+        bound = min(chunk, w_main, max(1, budget // per_wc))
+        eff = _select_chunk(w_main, bound, False)
+        key = (eff, tile_i, tile_j, unpack, mode, words_sel)
         if key in seen:
             print(f"chunk={chunk:4d} tile={tile_i}x{tile_j} budget="
                   f"{budget // mb}M: clamps to already-measured "
@@ -111,7 +133,8 @@ def main():
 
         @partial(jax.jit, static_argnums=(1,))
         def chain(planes, k_steps, _chunk=chunk, _ti=tile_i, _tj=tile_j,
-                  _words=words, _unpack=unpack, _budget=budget, _mode=mode):
+                  _words=words_sel, _unpack=unpack, _budget=budget,
+                  _mode=mode):
             def step(acc, k):
                 j_off = (k % (n_rows // panel)) * panel
                 if _mode == "indexed":
@@ -144,17 +167,17 @@ def main():
 
         try:
             k_long = 8 if words <= 4000 else 4
-            _ = int(chain(planes, 1))
-            _ = int(chain(planes, k_long))
-            t0 = time.perf_counter(); _ = int(chain(planes, 1))
-            t1 = time.perf_counter(); _ = int(chain(planes, k_long))
+            _ = int(chain(planes_sel, 1))
+            _ = int(chain(planes_sel, k_long))
+            t0 = time.perf_counter(); _ = int(chain(planes_sel, 1))
+            t1 = time.perf_counter(); _ = int(chain(planes_sel, k_long))
             t2 = time.perf_counter()
             dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
             pairs_s = panel * panel / dt
             print(
                 f"wm={wm:4d} chunk={chunk:4d} tile={tile_i:3d}x{tile_j:3d} "
                 f"unpack={unpack:4s} budget={budget // mb:3d}M "
-                f"mode={mode:7s} W={words:5d}: "
+                f"mode={mode:7s} W={words_sel:5d}: "
                 f"{dt*1e3:7.2f} ms/panel-pair  {pairs_s/1e6:7.1f} M pairs/s"
             )
         except Exception as e:
