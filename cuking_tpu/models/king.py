@@ -283,6 +283,31 @@ class KingEngine:
         self.logger = logger or StageLogger(enabled=self.config.verbose)
         self._kernel = _resolve_kernel(self.config)
         self._indexed_kernel = _resolve_indexed_kernel(self.config)
+        # indexed_panels × split-needing W (words_multiple < 128 layouts:
+        # W > 128 and not a 128-multiple, which Mosaic's lane rule can't
+        # chunk directly): keep TWO resident arrays — the 128-aligned
+        # prefix and the <128-word remainder — so every panel pair runs as
+        # two scalar-prefetch kernel calls whose counters add, instead of
+        # degrading to per-step panel slice copies (the in-kernel fallback,
+        # king_pallas.py).  This composes the two padding/copy savings at
+        # the 100k-site regime (docs/PERF.md).
+        w = storage.layout.words
+        self._w_split = None
+        if self._indexed_kernel is not None and w > 128 and w % 128:
+            w1 = w - (w % 128)
+            self._w_split = (w1, w - w1)
+            from cuking_tpu.ops.king_pallas import (
+                VMEM_BUDGET,
+                panel_counts_pallas_indexed,
+            )
+
+            self._indexed_kernel_rem = partial(
+                panel_counts_pallas_indexed,
+                panel=self.config.panel,
+                site_chunk_words=w - w1,  # the remainder's full axis
+                vmem_budget=self.config.vmem_budget or VMEM_BUDGET,
+                interpret=self.config.pallas_interpret,
+            )
         self._sweep = self._build_sweep()
         self._planes_dev_cache = None
         self._planes_dev_version = None
@@ -297,7 +322,16 @@ class KingEngine:
         ``refresh_planes()``."""
         version = getattr(self.storage, "version", None)
         if self._planes_dev_cache is None or self._planes_dev_version != version:
-            self._planes_dev_cache = jnp.asarray(self.storage.planes)
+            if self._w_split is not None:
+                # Two-array upload for the indexed × split-W composition
+                # (see __init__): host-side views, one transfer each.
+                w1 = self._w_split[0]
+                self._planes_dev_cache = (
+                    jnp.asarray(self.storage.planes[:, :, :w1]),
+                    jnp.asarray(self.storage.planes[:, :, w1:]),
+                )
+            else:
+                self._planes_dev_cache = jnp.asarray(self.storage.planes)
             self._planes_dev_version = version
         return self._planes_dev_cache
 
@@ -356,7 +390,14 @@ class KingEngine:
         # Diagonal panel pairs (same global base) let the Pallas kernel skip
         # lower-triangle tiles; the i<j mask below discards them regardless.
         tri = (gi_base == gj_base).astype(jnp.int32)
-        if self._indexed_kernel is not None:
+        if self._w_split is not None:
+            # Two resident arrays (prefix + remainder; see __init__): two
+            # scalar-prefetch calls, counters add (disjoint site ranges;
+            # tri-skipped tiles are garbage in both and masked below).
+            main = self._indexed_kernel(planes[0], i_off, j_off, tri)
+            rem = self._indexed_kernel_rem(planes[1], i_off, j_off, tri)
+            counts = type(main)(*(a + b for a, b in zip(main, rem)))
+        elif self._indexed_kernel is not None:
             # Scalar-prefetch path: the kernel DMAs its tiles straight out
             # of the full storage — no [2, panel, W] slice copies (two
             # ~257 MiB HBM round-trips per step at 1M sites).

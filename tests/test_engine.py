@@ -263,9 +263,10 @@ def test_engine_split_w_layout_matches_matmul():
     """A words_multiple=64 layout (W=192: >128 and not a 128-multiple)
     drives the kernel's site-axis split — the 128-aligned prefix plus the
     full-axis remainder call — through the full engine sweep.  The sliced
-    path splits in-kernel; the indexed path degrades to panel slices + the
-    split (king_pallas.py).  Both must match the matmul engine bit-exactly
-    on the same layout."""
+    path splits in-kernel; the indexed path keeps TWO resident arrays
+    (prefix + remainder) and adds the two scalar-prefetch calls' counters
+    (models/king.py).  Both must match the matmul engine bit-exactly on
+    the same layout."""
     g = random_genotypes(40, 6100, missing_rate=0.08, seed=13,
                          num_related_pairs=3)
     results = {}
@@ -280,6 +281,15 @@ def test_engine_split_w_layout_matches_matmul():
                          max_results=40 * 40, sweep_batch=4, **extra)
         eng = KingEngine.from_genotypes(g, cfg, words_multiple=64)
         assert eng.storage.layout.words == 192  # the split-needing shape
+        if name == "pallas_indexed":
+            # The indexed × split-W composition must engage: two resident
+            # arrays, [.., 128] prefix + [.., 64] full-axis remainder.
+            assert eng._w_split == (128, 64)
+            dev = eng.planes_dev
+            assert isinstance(dev, tuple)
+            assert dev[0].shape[2] == 128 and dev[1].shape[2] == 64
+        else:
+            assert eng._w_split is None
         results[name] = eng.run()
     base = results["matmul"]
     assert len(base) == 40 * 39 // 2 - _nonfinite_pairs(g)
