@@ -597,3 +597,33 @@ def test_ring_indexed_wrap_split_misaligned_tiles():
         runs["indexed"].kin.view(np.uint32), runs["sliced"].kin.view(np.uint32)
     )
     assert_resultsets_equal(runs["indexed"], oracle_resultset(g, -2.0))
+
+
+def test_ring_split_w_layout_matches_oracle():
+    """A words_multiple=64 layout (W=192: >128 and not a 128-multiple)
+    through the mesh ring: the sliced kernel splits the site axis
+    in-kernel; the indexed kernel degrades to panel slices + the split
+    (king_pallas.py — the ring does NOT get the engine's two-array
+    composition).  Both must match the oracle and each other bit-exactly."""
+    g = random_genotypes(32, 6100, missing_rate=0.1, seed=43,
+                         num_related_pairs=2)
+    layout = PlaneLayout.create(6100, words_multiple=64)
+    assert layout.words == 192 and layout.words % 128 != 0
+    planes = pack_genotypes(g, layout)
+    mesh = make_mesh(4)
+    runs = {}
+    for name, idx in (("sliced", None), ("indexed", _pallas_indexed)):
+        out = all_pairs_sharded(
+            planes, 32, mesh, _pallas_sliced,
+            kin_threshold=0.05, capacity_per_device=4096, row_multiple=8,
+            sub_panel=8, indexed_kernel=idx,
+        )
+        runs[name] = ring_output_to_resultset(out)
+    exp = oracle_resultset(g, 0.05)
+    assert len(exp) > 0
+    assert_resultsets_equal(runs["indexed"], exp)
+    assert_resultsets_equal(runs["sliced"], exp)
+    assert np.array_equal(
+        runs["indexed"].kin.view(np.uint32),
+        runs["sliced"].kin.view(np.uint32),
+    )
