@@ -53,6 +53,10 @@ def main() -> int:
                     default=None, help=(
         "Override KingConfig.indexed_panels for the ring sweep "
         "(A/B the scalar-prefetch path on hardware)"))
+    ap.add_argument("--words-multiple", type=int, default=None, help=(
+        "Override the layout's word padding multiple (A/B wm=64 split-W "
+        "layouts on hardware; the ring runs the indexed kernel's "
+        "slice-fallback at such W — see king_pallas.py)"))
     args = ap.parse_args()
 
     from cuking_tpu.utils.platform import apply_platform_override
@@ -105,7 +109,9 @@ def main() -> int:
               file=sys.stderr)
         return 1
 
-    layout = PlaneLayout.create(num_sites, words_multiple=chunk)
+    layout = PlaneLayout.create(
+        num_sites, words_multiple=args.words_multiple or chunk
+    )
     max_rows = rows_per_chip * max(ds)
     rng = np.random.default_rng(0)
     if on_tpu:
