@@ -172,9 +172,13 @@ def _resolve_kernel(config: KingConfig) -> Callable:
     raise InvalidArgumentError(f"Unknown kernel: {config.kernel}")
 
 
-def _resolve_indexed_kernel(config: KingConfig) -> Callable | None:
+def _resolve_indexed_kernel(
+    config: KingConfig, site_chunk_words: int | None = None
+) -> Callable | None:
     """The scalar-prefetch variant (full storage + row offsets, no panel
-    slice copies) when the fast Pallas path is selected; None otherwise."""
+    slice copies) when the fast Pallas path is selected; None otherwise.
+    ``site_chunk_words`` overrides the config's chunk (the engine's split-W
+    remainder kernel uses its full axis)."""
     if not config.indexed_panels or resolve_kernel_name(config) != "pallas":
         return None
     from cuking_tpu.ops.king_pallas import (
@@ -185,7 +189,11 @@ def _resolve_indexed_kernel(config: KingConfig) -> Callable | None:
     return partial(
         panel_counts_pallas_indexed,
         panel=config.panel,
-        site_chunk_words=config.site_chunk_words,
+        site_chunk_words=(
+            config.site_chunk_words
+            if site_chunk_words is None
+            else site_chunk_words
+        ),
         vmem_budget=config.vmem_budget or VMEM_BUDGET,
         interpret=config.pallas_interpret,
     )
@@ -283,34 +291,41 @@ class KingEngine:
         self.logger = logger or StageLogger(enabled=self.config.verbose)
         self._kernel = _resolve_kernel(self.config)
         self._indexed_kernel = _resolve_indexed_kernel(self.config)
-        # indexed_panels × split-needing W (words_multiple < 128 layouts:
-        # W > 128 and not a 128-multiple, which Mosaic's lane rule can't
-        # chunk directly): keep TWO resident arrays — the 128-aligned
-        # prefix and the <128-word remainder — so every panel pair runs as
-        # two scalar-prefetch kernel calls whose counters add, instead of
-        # degrading to per-step panel slice copies (the in-kernel fallback,
-        # king_pallas.py).  This composes the two padding/copy savings at
-        # the 100k-site regime (docs/PERF.md).
+        # indexed_panels × split-needing W (words_multiple < 128 layouts
+        # whose W admits no Mosaic-legal site chunk): keep TWO resident
+        # arrays — the 128-aligned prefix and the <128-word remainder — so
+        # every panel pair runs as two scalar-prefetch kernel calls whose
+        # counters add, instead of degrading to per-step panel slice copies
+        # (the in-kernel fallback, king_pallas.py).  This composes the two
+        # padding/copy savings at the 100k-site regime (docs/PERF.md).  The
+        # legality test mirrors the kernel's own chunk selection so a W
+        # whose full axis is a legal single chunk stays one array.
         w = storage.layout.words
         self._w_split = None
         if self._indexed_kernel is not None and w > 128 and w % 128:
-            w1 = w - (w % 128)
-            self._w_split = (w1, w - w1)
             from cuking_tpu.ops.king_pallas import (
+                TILE_I,
+                TILE_J,
                 VMEM_BUDGET,
-                panel_counts_pallas_indexed,
+                _select_chunk,
             )
 
-            self._indexed_kernel_rem = partial(
-                panel_counts_pallas_indexed,
-                panel=self.config.panel,
-                site_chunk_words=w - w1,  # the remainder's full axis
-                vmem_budget=self.config.vmem_budget or VMEM_BUDGET,
-                interpret=self.config.pallas_interpret,
-            )
+            ti = min(TILE_I, self.config.panel)
+            tj = min(TILE_J, self.config.panel)
+            budget = self.config.vmem_budget or VMEM_BUDGET
+            bound = min(self.config.site_chunk_words, w,
+                        max(1, budget // (3 * 32 * (ti + tj))))
+            if _select_chunk(w, bound, False) is None:
+                w1 = w - (w % 128)
+                self._w_split = (w1, w - w1)
+                self._indexed_kernel_rem = _resolve_indexed_kernel(
+                    self.config, site_chunk_words=w - w1  # its full axis
+                )
         self._sweep = self._build_sweep()
         self._planes_dev_cache = None
         self._planes_dev_version = None
+        self._split_dev_cache = None
+        self._split_dev_version = None
 
     @property
     def planes_dev(self) -> jnp.ndarray:
@@ -322,21 +337,30 @@ class KingEngine:
         ``refresh_planes()``."""
         version = getattr(self.storage, "version", None)
         if self._planes_dev_cache is None or self._planes_dev_version != version:
-            if self._w_split is not None:
-                # Two-array upload for the indexed × split-W composition
-                # (see __init__): host-side views, one transfer each.
-                w1 = self._w_split[0]
-                self._planes_dev_cache = (
-                    jnp.asarray(self.storage.planes[:, :, :w1]),
-                    jnp.asarray(self.storage.planes[:, :, w1:]),
-                )
-            else:
-                self._planes_dev_cache = jnp.asarray(self.storage.planes)
+            self._planes_dev_cache = jnp.asarray(self.storage.planes)
             self._planes_dev_version = version
         return self._planes_dev_cache
 
+    def _sweep_planes(self):
+        """What the jitted sweep consumes: ``planes_dev`` itself, or — for
+        the indexed × split-W composition (see __init__) — a (prefix,
+        remainder) tuple of DEVICE-side slices of it.  The slices are
+        HBM-local copies cut once per storage version; the host never
+        re-strides the bitset, and ``planes_dev``'s single-array contract
+        (bench tooling slices it directly) is untouched."""
+        if self._w_split is None:
+            return self.planes_dev
+        version = getattr(self.storage, "version", None)
+        if self._split_dev_cache is None or self._split_dev_version != version:
+            full = self.planes_dev
+            w1 = self._w_split[0]
+            self._split_dev_cache = (full[:, :, :w1], full[:, :, w1:])
+            self._split_dev_version = version
+        return self._split_dev_cache
+
     def refresh_planes(self) -> None:
         self._planes_dev_cache = None
+        self._split_dev_cache = None
 
     # -- constructors ------------------------------------------------------
 
@@ -515,7 +539,7 @@ class KingEngine:
         (cuking.cu:747-751 semantics, enforced mid-flight)."""
         cfg = self.config
         st = self.storage
-        planes_dev = self.planes_dev
+        planes_dev = self._sweep_planes()
         threshold = jnp.float32(cfg.kin_threshold)
         sweep = self._get_sweep(capacity)
 

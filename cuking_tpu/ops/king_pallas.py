@@ -203,29 +203,6 @@ def panel_counts_pallas(
         )
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
-    if w > 128 and w % 128:
-        # Mosaic's lane rule admits a site chunk only if it is a 128-multiple
-        # or the full axis; a W that is neither — words_multiple=64 layouts,
-        # which cut the pure-MXU-waste site padding at 100k sites from 2.4%
-        # to 0.35% (docs/PERF.md) — runs as TWO calls: the 128-aligned
-        # prefix at the requested chunk plus a <128-word full-axis-chunk
-        # remainder.  Every counter is a sum over disjoint site ranges, so
-        # the six outputs add; tri-skipped diagonal tiles stay unwritten
-        # (garbage) in BOTH halves and are masked by callers as always.
-        # The split also runs in interpret mode (where any divisor chunk
-        # would be legal) so tests exercise the exact compiled-path
-        # structure.  The slices are cheap: the operands here are already
-        # per-panel [2, panel, W] tiles, not the full storage.
-        w1 = w - (w % 128)
-        kw = dict(tri=tri, tile_i=tile_i, tile_j=tile_j, interpret=interpret,
-                  unpack=unpack, vmem_budget=vmem_budget)
-        head = panel_counts_pallas(
-            planes_i[:, :, :w1], planes_j[:, :, :w1],
-            site_chunk_words=site_chunk_words, **kw)
-        rest = panel_counts_pallas(
-            planes_i[:, :, w1:], planes_j[:, :, w1:],
-            site_chunk_words=w - w1, **kw)
-        return KingCounts(*(a + b for a, b in zip(head, rest)))
     ti, tj = min(tile_i, ni), min(tile_j, nj)
     assert ni % ti == 0 and nj % tj == 0, (ni, nj, ti, tj)
     # Chunk selection: the largest divisor of W that fits both the request
@@ -239,6 +216,31 @@ def panel_counts_pallas(
     budget = vmem_budget
     per_wc = 3 * 32 * (ti + tj)  # unpacked bytes per word-column
     bound = min(site_chunk_words, w, max(1, budget // per_wc))
+    if _select_chunk(w, bound, False) is None and w > 128 and w % 128:
+        # No Mosaic-legal chunk for this W (the lane rule admits only
+        # 128-multiples or the full axis) — e.g. words_multiple=64 layouts,
+        # which cut the pure-MXU-waste site padding at 100k sites from 2.4%
+        # to 0.35% (docs/PERF.md).  Run TWO calls: the 128-aligned prefix
+        # at the requested chunk plus a <128-word full-axis-chunk
+        # remainder.  Every counter is a sum over disjoint site ranges, so
+        # the six outputs add; tri-skipped diagonal tiles stay unwritten
+        # (garbage) in BOTH halves and are masked by callers as always.
+        # The split decision uses the COMPILED legality rule even in
+        # interpret mode (where any divisor chunk would be legal) so tests
+        # exercise the exact compiled-path structure; a W whose full axis
+        # fits the request and budget stays a single call either way.  The
+        # slices are cheap: the operands here are already per-panel
+        # [2, panel, W] tiles, not the full storage.
+        w1 = w - (w % 128)
+        kw = dict(tri=tri, tile_i=tile_i, tile_j=tile_j, interpret=interpret,
+                  unpack=unpack, vmem_budget=vmem_budget)
+        head = panel_counts_pallas(
+            planes_i[:, :, :w1], planes_j[:, :, :w1],
+            site_chunk_words=site_chunk_words, **kw)
+        rest = panel_counts_pallas(
+            planes_i[:, :, w1:], planes_j[:, :, w1:],
+            site_chunk_words=w - w1, **kw)
+        return KingCounts(*(a + b for a, b in zip(head, rest)))
     wc = _select_chunk(w, bound, interpret)
     if wc is None:
         raise InvalidArgumentError(
@@ -408,22 +410,6 @@ def _panel_counts_pallas_indexed(
     if panel_j is None:
         panel_j = panel
     n, w = planes.shape[1], planes.shape[2]
-    if w > 128 and w % 128:
-        # A W that is neither a 128-multiple nor ≤128 needs the site axis
-        # split (Mosaic lane rule; see panel_counts_pallas) — but splitting
-        # HERE would slice the FULL [2, N, W] storage, a whole-bitset copy
-        # per step.  Degrade instead to the sliced path: materialize the two
-        # panels (exactly the copies indexed mode exists to avoid) and let
-        # panel_counts_pallas run its 128-aligned-prefix + remainder split.
-        # Such layouts (words_multiple < 128) only pay off at short W, where
-        # the panel copies are cheap relative to the kernel (docs/PERF.md).
-        pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, w))
-        pj = lax.dynamic_slice(planes_j, (0, j_off, 0), (2, panel_j, w))
-        return panel_counts_pallas(
-            pi, pj, tri, site_chunk_words=site_chunk_words, tile_i=tile_i,
-            tile_j=tile_j, interpret=interpret, unpack=unpack,
-            vmem_budget=vmem_budget,
-        )
     assert planes_j.shape[0] == 2 and planes_j.shape[2] == w, planes_j.shape
     nj = planes_j.shape[1]
     ti, tj = min(tile_i, panel), min(tile_j, panel_j)
@@ -431,6 +417,25 @@ def _panel_counts_pallas_indexed(
     budget = vmem_budget
     per_wc = 3 * 32 * (ti + tj)
     bound = min(site_chunk_words, w, max(1, budget // per_wc))
+    if _select_chunk(w, bound, False) is None and w > 128 and w % 128:
+        # A W with no Mosaic-legal chunk (lane rule: 128-multiples or the
+        # full axis) needs the site-axis split (see panel_counts_pallas) —
+        # but splitting HERE would slice the FULL [2, N, W] storage, a
+        # whole-bitset copy per step.  Degrade instead to the sliced path:
+        # materialize the two panels (exactly the copies indexed mode
+        # exists to avoid) and let panel_counts_pallas run its
+        # 128-aligned-prefix + remainder split.  The decision uses the
+        # COMPILED legality rule even in interpret mode, mirroring
+        # panel_counts_pallas.  The engine avoids this fallback entirely
+        # for such layouts by keeping prefix + remainder as two resident
+        # arrays (models/king.py).
+        pi = lax.dynamic_slice(planes, (0, i_off, 0), (2, panel, w))
+        pj = lax.dynamic_slice(planes_j, (0, j_off, 0), (2, panel_j, w))
+        return panel_counts_pallas(
+            pi, pj, tri, site_chunk_words=site_chunk_words, tile_i=tile_i,
+            tile_j=tile_j, interpret=interpret, unpack=unpack,
+            vmem_budget=vmem_budget,
+        )
     wc = _select_chunk(w, bound, interpret)
     if wc is None:
         raise InvalidArgumentError(

@@ -283,13 +283,16 @@ def test_engine_split_w_layout_matches_matmul():
         assert eng.storage.layout.words == 192  # the split-needing shape
         if name == "pallas_indexed":
             # The indexed × split-W composition must engage: two resident
-            # arrays, [.., 128] prefix + [.., 64] full-axis remainder.
+            # arrays, [.., 128] prefix + [.., 64] full-axis remainder —
+            # while planes_dev keeps its single-array contract.
             assert eng._w_split == (128, 64)
-            dev = eng.planes_dev
+            dev = eng._sweep_planes()
             assert isinstance(dev, tuple)
             assert dev[0].shape[2] == 128 and dev[1].shape[2] == 64
+            assert not isinstance(eng.planes_dev, tuple)
         else:
             assert eng._w_split is None
+            assert eng._sweep_planes() is eng.planes_dev
         results[name] = eng.run()
     base = results["matmul"]
     assert len(base) == 40 * 39 // 2 - _nonfinite_pairs(g)

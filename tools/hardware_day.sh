@@ -9,9 +9,9 @@
 # KingConfig.indexed_panels, words_multiple default, chunk/vmem defaults,
 # u16 verdict) stay MANUAL — see PERF.md for the decision rules.
 set -u
-LOGDIR="${1:-/tmp/hwday}"
-mkdir -p "$LOGDIR"
 cd "$(dirname "$0")/.."
+LOGDIR="${1:-/tmp/hwday}"   # relative paths resolve under the repo root
+mkdir -p "$LOGDIR"
 
 run() {
   local name="$1" tmo="$2"; shift 2
@@ -22,6 +22,7 @@ run() {
   echo "=== $name exit=$rc ==="
 }
 
+run tpu_smoke       900 python tools/tpu_smoke.py
 run ab_indexed_u16 2400 python tools/ab_indexed_u16.py
 run tune_long      2400 python tools/tune_pallas.py --long
 run tune_100k      2400 python tools/tune_pallas.py
