@@ -81,8 +81,11 @@ class KingConfig:
     # Pallas only: index panels straight out of the full plane storage via
     # scalar prefetch instead of materializing dynamic-slice copies — at
     # gnomAD-scale W the slices are ~257 MiB of pure HBM copy per step.
-    # Off switch exists for A/B measurement (tools/tune_pallas.py).
-    indexed_panels: bool = False
+    # Default ON since round 5: measured bit-exact vs the sliced path on a
+    # real chip and +4% at the 1M-site BASELINE regime (19.9 vs 19.1 M
+    # pairs/s; tools/ab_indexed_u16.py).  Off switch kept for A/B
+    # measurement (tools/tune_pallas.py).
+    indexed_panels: bool = True
     # Pallas only: VMEM spent on the unpacked int8 tiles per site chunk
     # (0 = the kernel's conservative default).  Governs the largest legal
     # site chunk — raising it trades VMEM for fewer accumulator sweeps at

@@ -74,11 +74,13 @@ def _unpack3(
     covering 2× the sites per packed vector register — up to a 2× cut in
     unpack work where Mosaic packs 16-bit lanes.
     mode="u8": same idea at [TI, 4·WC]u8 with 8 mask-compares (4× cut).
-    NOTE: u8 only runs in interpret mode; the deployed Mosaic can't
-    legalize i8 vector shift/compare ops (kept for future toolchains).
-    At ~94% MXU utilization the u32 unpack is already largely overlapped,
-    so the ceiling on any unpack cut is ≤6%; see docs/PERF.md for the
-    measured verdict on each mode.
+    NOTE: u8 and u16 only run in interpret mode; the deployed Mosaic can't
+    legalize sub-32-bit vector shifts (u8 fails to lower; u16 dies in
+    tpu_compile_helper with an internal error — measured 2026-08-19,
+    tools/ab_indexed_u16.py).  Kept for future toolchains.  At ~94% MXU
+    utilization the u32 unpack is already largely overlapped, so the
+    ceiling on any unpack cut is ≤6%; see docs/PERF.md for the measured
+    verdict on each mode.
     """
     h = het & ~hom
     a = ~het & hom
@@ -193,13 +195,15 @@ def panel_counts_pallas(
     are then left unwritten — callers MUST mask with the strict global
     ``i < j`` predicate (they already must, per cuking.cu:199).
     """
-    if unpack == "u8" and not interpret:
-        # The deployed Mosaic can't legalize i8 vector shift/compare ops;
-        # fail clearly instead of with an obscure lowering error.
+    if unpack in ("u8", "u16") and not interpret:
+        # The deployed Mosaic can't legalize sub-32-bit vector shifts: u8
+        # fails to lower (i8 vector compare), and u16 dies inside
+        # tpu_compile_helper with an internal error (measured 2026-08-19,
+        # tools/ab_indexed_u16.py).  Fail clearly instead of obscurely.
         raise NotImplementedError(
-            "unpack='u8' only runs in interpret mode on the current Mosaic "
-            "toolchain (i8 vector compare ops don't legalize); use the "
-            "default unpack='u32' for compiled TPU execution."
+            f"unpack='{unpack}' only runs in interpret mode on the current "
+            "Mosaic toolchain (sub-32-bit vector shifts don't legalize); "
+            "use the default unpack='u32' for compiled TPU execution."
         )
     ni, nj = planes_i.shape[1], planes_j.shape[1]
     w = planes_i.shape[2]
@@ -399,11 +403,11 @@ def _panel_counts_pallas_indexed(
     ring's wrap-split and off-diagonal rectangular sweeps use asymmetric
     sub-tiles (parallel/ring.py), so the two block edges are independent.
     """
-    if unpack == "u8" and not interpret:
+    if unpack in ("u8", "u16") and not interpret:
         raise NotImplementedError(
-            "unpack='u8' only runs in interpret mode on the current Mosaic "
-            "toolchain (i8 vector compare ops don't legalize); use the "
-            "default unpack='u32' for compiled TPU execution."
+            f"unpack='{unpack}' only runs in interpret mode on the current "
+            "Mosaic toolchain (sub-32-bit vector shifts don't legalize); "
+            "use the default unpack='u32' for compiled TPU execution."
         )
     if planes_j is None:
         planes_j = planes

@@ -166,13 +166,21 @@ def main():
             return acc
 
         try:
-            k_long = 8 if words <= 4000 else 4
-            _ = int(chain(planes_sel, 1))
-            _ = int(chain(planes_sel, k_long))
-            t0 = time.perf_counter(); _ = int(chain(planes_sel, 1))
-            t1 = time.perf_counter(); _ = int(chain(planes_sel, k_long))
-            t2 = time.perf_counter()
-            dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
+            # Long differencing chains with a median over repeats: the old
+            # 1→8 form is dominated by the ~30 ms tunnel RTT on both
+            # endpoints and has reported fictitious >speed-of-light rates
+            # (tools/chip_probe.py: 1→8 gave 278–375 M pairs/s where 8→32
+            # and 16→48 agree at ~203 M).
+            k_lo, k_hi = (8, 32) if words <= 4000 else (2, 10)
+            _ = int(chain(planes_sel, k_lo))
+            _ = int(chain(planes_sel, k_hi))
+            deltas = []
+            for _rep in range(3):
+                t0 = time.perf_counter(); _ = int(chain(planes_sel, k_lo))
+                t1 = time.perf_counter(); _ = int(chain(planes_sel, k_hi))
+                t2 = time.perf_counter()
+                deltas.append(((t2 - t1) - (t1 - t0)) / (k_hi - k_lo))
+            dt = max(float(np.median(deltas)), 1e-9)
             pairs_s = panel * panel / dt
             print(
                 f"wm={wm:4d} chunk={chunk:4d} tile={tile_i:3d}x{tile_j:3d} "
