@@ -138,7 +138,12 @@ def main():
     kernel = "pallas" if on_tpu else "matmul"
     site_chunk = 128 if on_tpu else 16
 
-    layout = PlaneLayout.create(num_sites, words_multiple=site_chunk)
+    # wm=64 layout (TPU): cuts site padding at 100k sites from 2.4% to
+    # 0.35%; the Pallas paths cover the non-128-multiple W with the
+    # prefix+remainder site-axis split — measured engine-level win on-chip,
+    # 203.6 vs 200.2 M pairs/s (tools/engine_wm_ab.py).
+    wm = 64 if on_tpu else site_chunk
+    layout = PlaneLayout.create(num_sites, words_multiple=wm)
     submatrix = Submatrix.create(num_samples, 1, 0)
     config = KingConfig(
         kin_threshold=0.9,  # random data ⇒ ~no hits: measures pure compute
@@ -227,13 +232,16 @@ def main():
         acc, _ = lax.scan(step, jnp.int32(0), jnp.arange(k_steps))
         return acc
 
-    k_long = 8
-    _ = int(pop_chain(planes_dev, 1))
-    _ = int(pop_chain(planes_dev, k_long))
-    t0 = time.perf_counter(); _ = int(pop_chain(planes_dev, 1))
-    t1 = time.perf_counter(); _ = int(pop_chain(planes_dev, k_long))
+    # 8→32-step differencing, like the kernel-only section below: the 1→8
+    # form is RTT-noise-dominated (the baseline drifted 38–52 M pairs/s
+    # across sessions on identical code, polluting vs_baseline).
+    kb_lo, kb_hi = (8, 32) if on_tpu else (1, 4)
+    _ = int(pop_chain(planes_dev, kb_lo))
+    _ = int(pop_chain(planes_dev, kb_hi))
+    t0 = time.perf_counter(); _ = int(pop_chain(planes_dev, kb_lo))
+    t1 = time.perf_counter(); _ = int(pop_chain(planes_dev, kb_hi))
     t2 = time.perf_counter()
-    base_dt = max((t2 - t1 - (t1 - t0)) / (k_long - 1), 1e-9)
+    base_dt = max((t2 - t1 - (t1 - t0)) / (kb_hi - kb_lo), 1e-9)
     base_pairs_per_sec = panel * panel / base_dt
     log(f"popcount baseline: {base_dt*1e3:.1f} ms/panel-pair "
         f"({base_pairs_per_sec/1e6:.2f} M pairs/s; round_trip={round_trip*1e3:.0f} ms)")
@@ -376,10 +384,16 @@ def main():
     section("ingest", 45, 45, sec_ingest)
 
     # (d) 1M-site configuration (gnomAD QC-site scale, BASELINE.json cfg 2).
+    # 16k samples (4.1 GB of planes; v5e HBM holds 16 GB): production
+    # cohorts at gnomAD scale are ≥32k samples, and the diagonal-panel
+    # share — whose 256-wide tile triangle is the one structural waste the
+    # kernel can't skip — falls as 2/(n_panels+1): 22% of panel pairs at
+    # 8k samples vs 6% at 16k.  Dispatch structure measured irrelevant
+    # (sweep_batch 16/36/64 identical; tools/engine_1m_ab.py).
     def sec_1m():
-        num_samples_1m = 8192 if on_tpu else 96
+        num_samples_1m = 16384 if on_tpu else 96
         num_sites_1m = 1_000_000 if on_tpu else 10_000
-        layout_1m = PlaneLayout.create(num_sites_1m, words_multiple=site_chunk)
+        layout_1m = PlaneLayout.create(num_sites_1m, words_multiple=wm)
         storage_1m = PanelStorage(
             layout_1m, Submatrix.create(num_samples_1m, 1, 0), panel
         )
@@ -407,8 +421,9 @@ def main():
             f"@ {num_sites_1m} sites -> {pairs_per_sec_1m/1e6:.0f} M pairs/s")
         diag["pairs_per_sec_1m_sites"] = round(pairs_per_sec_1m)
         diag["num_sites_1m"] = num_sites_1m
+        diag["num_samples_1m"] = num_samples_1m
 
-    section("sweep_1m_sites", 240, 60, sec_1m)
+    section("sweep_1m_sites", 300, 110, sec_1m)
 
     # (e) the mesh ring code path on this one chip (D=1: the sub-tiled
     # local-triangle phase over the whole cohort) — same pair work as the

@@ -35,11 +35,16 @@ from cuking_tpu.utils.status import FailedPreconditionError
 
 HET, HOM = 0, 1  # plane indices
 
-# Default word-count multiple: keeps W divisible by the Pallas site-chunk
-# size and the lane dimension (128) aligned.  128 (not larger) because site
-# padding is pure wasted MXU work — at 100k sites, 512 pads 14.7% vs 2.4%
-# for 128 (tools/tune_pallas.py sweep: 163 → 200 M pairs/s on v5e).
-DEFAULT_WORDS_MULTIPLE = 128
+# Default word-count multiple.  Site padding is pure wasted MXU work — at
+# 100k sites, 512 pads 14.7%, 128 pads 2.4%, 64 pads 0.35%
+# (tools/tune_pallas.py sweep: 163 → 200 → 204 M pairs/s on v5e).  64 is
+# not Mosaic-lane-aligned (128), so the Pallas paths cover a non-128-
+# multiple W with a 128-aligned prefix call plus a <128-word full-axis
+# remainder call (king_pallas.py site-axis split; the engine keeps the two
+# halves as separate resident arrays under indexed_panels) — measured
+# engine-level win on-chip, 203.6 vs 200.2 M pairs/s at 100k sites
+# (tools/engine_wm_ab.py, 2026-08-19).
+DEFAULT_WORDS_MULTIPLE = 64
 
 
 def _ceil_div(a: int, b: int) -> int:
