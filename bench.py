@@ -145,6 +145,9 @@ def main():
     wm = 64 if on_tpu else site_chunk
     layout = PlaneLayout.create(num_sites, words_multiple=wm)
     submatrix = Submatrix.create(num_samples, 1, 0)
+    # NOTE tile_i=512 under a raised scoped-VMEM limit measures +1.5%
+    # kernel-only but 0% engine-level (tools/engine_tile512_ab.py) — the
+    # tuned defaults here ARE the engine-level optimum (docs/PERF.md).
     config = KingConfig(
         kin_threshold=0.9,  # random data ⇒ ~no hits: measures pure compute
         panel=panel, kernel=kernel, site_chunk_words=site_chunk,

@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
         "Pallas kernel panel addressing: scalar-prefetch indexing straight "
         "into HBM storage (no per-step panel slice copies) vs sliced "
         "panels. Default: the engine's tuned default (KingConfig)"))
+    p.add_argument("--tile_i", type=int, default=0, help=(
+        "Pallas kernel i-tile edge (0 = tuned default, 256). 512 with "
+        "LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 measures "
+        "+1.5%% (docs/PERF.md); without the raised limit it fails compile"))
+    p.add_argument("--tile_j", type=int, default=0, help=(
+        "Pallas kernel j-tile edge (0 = tuned default, 256)"))
     p.add_argument("--quiet", action="store_true", help="Suppress stage logs")
     return p
 
@@ -352,6 +358,8 @@ def run(args: argparse.Namespace) -> None:
         panel=panel,
         kernel=args.kernel,
         result_capacity=args.result_capacity,
+        tile_i=args.tile_i,
+        tile_j=args.tile_j,
         verbose=not args.quiet,
         **config_kw,
     )

@@ -91,6 +91,15 @@ class KingConfig:
     # site chunk — raising it trades VMEM for fewer accumulator sweeps at
     # long W (tools/tune_pallas.py sweeps the combinations).
     vmem_budget: int = 0
+    # Pallas only: kernel tile edges (0 = the kernel's TILE_I/TILE_J
+    # defaults, 256).  tile_i=512 with vmem_budget≈20 MiB measures +1.5%
+    # at both site regimes (tools/vmem_probe.py) but only compiles with
+    # Mosaic's scoped-VMEM limit raised
+    # (LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536), so it is
+    # an opt-in, not the default; bench.py opts in with a probe-verified
+    # fallback.
+    tile_i: int = 0
+    tile_j: int = 0
     # Pallas only: run the kernel in interpret mode (tests/CPU — lets the
     # engine's pallas wiring, incl. indexed_panels, run without a TPU).
     pallas_interpret: bool = False
@@ -164,11 +173,18 @@ def _resolve_kernel(config: KingConfig) -> Callable:
     if name == "matmul":
         return partial(panel_counts_matmul, site_chunk_words=config.site_chunk_words)
     if name == "pallas":
-        from cuking_tpu.ops.king_pallas import VMEM_BUDGET, panel_counts_pallas
+        from cuking_tpu.ops.king_pallas import (
+            TILE_I,
+            TILE_J,
+            VMEM_BUDGET,
+            panel_counts_pallas,
+        )
 
         return partial(
             panel_counts_pallas,
             site_chunk_words=config.site_chunk_words,
+            tile_i=config.tile_i or TILE_I,
+            tile_j=config.tile_j or TILE_J,
             vmem_budget=config.vmem_budget or VMEM_BUDGET,
             interpret=config.pallas_interpret,
         )
@@ -185,6 +201,8 @@ def _resolve_indexed_kernel(
     if not config.indexed_panels or resolve_kernel_name(config) != "pallas":
         return None
     from cuking_tpu.ops.king_pallas import (
+        TILE_I,
+        TILE_J,
         VMEM_BUDGET,
         panel_counts_pallas_indexed,
     )
@@ -197,6 +215,8 @@ def _resolve_indexed_kernel(
             if site_chunk_words is None
             else site_chunk_words
         ),
+        tile_i=config.tile_i or TILE_I,
+        tile_j=config.tile_j or TILE_J,
         vmem_budget=config.vmem_budget or VMEM_BUDGET,
         interpret=config.pallas_interpret,
     )
@@ -313,8 +333,8 @@ class KingEngine:
                 _select_chunk,
             )
 
-            ti = min(TILE_I, self.config.panel)
-            tj = min(TILE_J, self.config.panel)
+            ti = min(self.config.tile_i or TILE_I, self.config.panel)
+            tj = min(self.config.tile_j or TILE_J, self.config.panel)
             budget = self.config.vmem_budget or VMEM_BUDGET
             bound = min(self.config.site_chunk_words, w,
                         max(1, budget // (3 * 32 * (ti + tj))))

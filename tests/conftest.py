@@ -22,3 +22,19 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live compiled executables after each test module.
+
+    The suite compiles hundreds of shape-distinct XLA:CPU modules in one
+    process; with them all held live, XLA:CPU has segfaulted on this
+    1-vCPU host deep into the suite (large interpret-mode Pallas HLO in
+    tests/test_ring.py — each such test passes standalone).  Cross-module
+    jit cache hits are rare here (modules use distinct shapes), so
+    clearing costs little and bounds the executable footprint."""
+    yield
+    jax.clear_caches()
