@@ -248,6 +248,36 @@ def test_engine_pallas_indexed_matches_sliced_and_matmul():
             assert np.array_equal(getattr(rs, f), getattr(base, f)), (name, f)
 
 
+def test_engine_tile_knobs_match_default_tiles():
+    """KingConfig.tile_i/tile_j (round 5: the on-TPU 512-tile opt-in knob)
+    must plumb into both Pallas entry points and change nothing: results
+    bit-exact vs the default tiles across sliced and indexed paths, and a
+    tile that doesn't divide the panel fails loudly (king_pallas.py
+    asserts panel % ti == 0)."""
+    g = random_genotypes(40, 500, missing_rate=0.1, seed=17,
+                         num_related_pairs=2)
+    base_kw = dict(panel=16, site_chunk_words=8, kin_threshold=-2.0,
+                   max_results=40 * 40, sweep_batch=4, kernel="pallas",
+                   pallas_interpret=True)
+    results = {}
+    for name, extra in [
+        ("default", {}),
+        ("t8x4_sliced", dict(tile_i=8, tile_j=4, indexed_panels=False)),
+        ("t8x4_indexed", dict(tile_i=8, tile_j=4, indexed_panels=True)),
+    ]:
+        cfg = KingConfig(**base_kw, **extra)
+        results[name] = KingEngine.from_genotypes(g, cfg).run()
+    base = results["default"]
+    assert len(base) == 40 * 39 // 2 - _nonfinite_pairs(g)
+    for name in ("t8x4_sliced", "t8x4_indexed"):
+        rs = results[name]
+        assert len(rs) == len(base), name
+        assert np.array_equal(rs.kin.view(np.uint32),
+                              base.kin.view(np.uint32)), name
+        for f in ("i_idx", "j_idx", "ibs0", "ibs1", "ibs2"):
+            assert np.array_equal(getattr(rs, f), getattr(base, f)), (name, f)
+
+
 def _nonfinite_pairs(g):
     """Pairs whose kin is NaN/-inf (zero min-hets) — excluded even by a
     catch-all threshold's strict >."""
