@@ -122,8 +122,6 @@ def main():
     on_tpu = backend == "tpu"
     log(f"backend={backend} devices={jax.devices()}")
     RESULT["backend"] = backend
-    if not on_tpu:
-        RESULT["metric"] += " [CPU FALLBACK — not a chip number]"
     diag = RESULT["diagnostics"]
     skipped = diag["skipped"]
 
@@ -137,6 +135,13 @@ def main():
     panel = 1024 if on_tpu else 64
     kernel = "pallas" if on_tpu else "matmul"
     site_chunk = 128 if on_tpu else 16
+    # The metric label reflects the ACTUAL measured regime (the CPU
+    # fallback runs a 50× smaller site count — mislabeling it as 100k
+    # would let a consumer compare it against the chip regime).
+    RESULT["metric"] = (
+        f"sample-pairs/sec/chip @ {num_sites} sites (KING kinship+IBS)"
+        + ("" if on_tpu else " [CPU FALLBACK — not a chip number]")
+    )
 
     # wm=64 layout (TPU): cuts site padding at 100k sites from 2.4% to
     # 0.35%; the Pallas paths cover the non-128-multiple W with the

@@ -234,13 +234,18 @@ def _make_mesh():
 
 def _mesh_row_multiple(config: KingConfig) -> int:
     """Per-device row-count multiple for the ring sweep: the Pallas kernel
-    needs tile-divisible panels; other kernels take any size."""
+    needs tile-divisible panels (including any --tile_i/--tile_j override —
+    the ring's sub-panel and row offsets are all multiples of this, which
+    keeps the indexed kernel's block-offset contract, king_pallas.py);
+    other kernels take any size."""
     from cuking_tpu.models.king import resolve_kernel_name
 
     if resolve_kernel_name(config) == "pallas":
-        from cuking_tpu.ops.king_pallas import TILE_I
+        import math
 
-        return TILE_I
+        from cuking_tpu.ops.king_pallas import TILE_I, TILE_J
+
+        return math.lcm(config.tile_i or TILE_I, config.tile_j or TILE_J)
     return 1
 
 
@@ -256,6 +261,16 @@ def run(args: argparse.Namespace) -> None:
         raise InvalidArgumentError("Invalid split factor")
     if args.shard_index >= num_shards(args.split_factor) or args.shard_index < 0:
         raise InvalidArgumentError("Invalid shard index")
+    # Tile overrides fail here, not as a bare trace-time assert after
+    # ingest: the kernel requires the (possibly shrunk) panel to be a
+    # multiple of the selected tile min(tile, panel) (king_pallas.py).
+    for name, tile in (("--tile_i", args.tile_i), ("--tile_j", args.tile_j)):
+        if tile < 0:
+            raise InvalidArgumentError(f"Invalid {name}: {tile}")
+        if tile and args.panel % min(tile, args.panel):
+            raise InvalidArgumentError(
+                f"{name}={tile} does not divide --panel={args.panel}"
+            )
     if args.distributed:
         args.use_mesh = True
 

@@ -367,17 +367,24 @@ class KingEngine:
     def _sweep_planes(self):
         """What the jitted sweep consumes: ``planes_dev`` itself, or — for
         the indexed × split-W composition (see __init__) — a (prefix,
-        remainder) tuple of DEVICE-side slices of it.  The slices are
-        HBM-local copies cut once per storage version; the host never
-        re-strides the bitset, and ``planes_dev``'s single-array contract
-        (bench tooling slices it directly) is untouched."""
+        remainder) tuple uploaded once per storage version.  The halves
+        are uploaded STRAIGHT from host storage, never by slicing
+        ``planes_dev``: routing through the full device array would keep
+        full + prefix + remainder resident together (2× the bitset in
+        HBM), silently defeating the up-front capacity check
+        (utils/hbm.check_engine_fit counts the planes once).  The lazy
+        ``planes_dev`` single-array contract for bench tooling is
+        untouched — it just isn't materialized on this path."""
         if self._w_split is None:
             return self.planes_dev
         version = getattr(self.storage, "version", None)
         if self._split_dev_cache is None or self._split_dev_version != version:
-            full = self.planes_dev
             w1 = self._w_split[0]
-            self._split_dev_cache = (full[:, :, :w1], full[:, :, w1:])
+            host = self.storage.planes
+            self._split_dev_cache = (
+                jnp.asarray(host[:, :, :w1]),
+                jnp.asarray(np.ascontiguousarray(host[:, :, w1:])),
+            )
             self._split_dev_version = version
         return self._split_dev_cache
 

@@ -276,6 +276,12 @@ def test_engine_tile_knobs_match_default_tiles():
                               base.kin.view(np.uint32)), name
         for f in ("i_idx", "j_idx", "ibs0", "ibs1", "ibs2"):
             assert np.array_equal(getattr(rs, f), getattr(base, f)), (name, f)
+    # A tile that doesn't divide the panel must fail loudly, not floor-divide
+    # offsets to the wrong row window (16 % min(12, 16) != 0).
+    with pytest.raises(AssertionError):
+        KingEngine.from_genotypes(
+            g, KingConfig(**base_kw, tile_i=12, indexed_panels=False)
+        ).run()
 
 
 def _nonfinite_pairs(g):

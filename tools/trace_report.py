@@ -29,6 +29,15 @@ CATEGORIES = (
 )
 
 
+def _is_container(name: str) -> bool:
+    """Control-flow container ops (while/cond/call) span their children and
+    would double-count them: the engine's scan shows as a %while and a
+    %cond each covering ~the whole module next to the kernel custom-calls
+    they contain."""
+    n = name.lower().lstrip("%")
+    return n.startswith(("while", "cond", "call", "conditional"))
+
+
 def classify(name: str) -> str:
     n = name.lower()
     for cat, keys in CATEGORIES:
@@ -57,6 +66,8 @@ def analyze(trace_dir: str) -> dict:
                     module_span[1] = max(module_span[1], e.end_ns)
             elif line.name == "XLA Ops":
                 for e in line.events:
+                    if _is_container(e.name):
+                        continue
                     agg[classify(e.name)] += e.duration_ns
             elif line.name == "Async XLA Ops":
                 for e in line.events:
