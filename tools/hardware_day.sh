@@ -1,13 +1,20 @@
 #!/usr/bin/env bash
-# Round-4 pending on-hardware measurements (docs/PERF.md "Pending on-hardware
-# A/B") in dependency order, each under a timeout so a dying tunnel cannot
-# wedge the session.  Run from the repo root with the TPU reachable:
+# On-hardware measurement chain, in dependency order, each under a timeout
+# so a dying tunnel cannot wedge the session.  Run from the repo root with
+# the TPU reachable:
 #
 #   bash tools/hardware_day.sh [logdir]
 #
-# Results land in <logdir>/*.log (default /tmp/hwday).  Decisions (flip
-# KingConfig.indexed_panels, words_multiple default, chunk/vmem defaults,
-# u16 verdict) stay MANUAL — see PERF.md for the decision rules.
+# Results land in <logdir>/*.log (default /tmp/hwday).
+#
+# The round-4 pending A/Bs were all executed in round 5 and their
+# decisions are merged (docs/PERF.md "Round-5 measured verdicts"):
+# indexed_panels=True, words_multiple=64, u16 Mosaic-blocked, tile/chunk
+# defaults confirmed optimal.  What REMAINS hardware-gated is the
+# multi-chip story — on a real slice, `scaling` below measures pairs/s/chip
+# vs device count (target ≥85% at N≥2, BASELINE.md) and the
+# ppermute/compute overlap from the trace; everything else is a regression
+# re-check of the merged defaults.
 set -u
 cd "$(dirname "$0")/.."
 LOGDIR="${1:-/tmp/hwday}"   # relative paths resolve under the repo root
@@ -23,9 +30,10 @@ run() {
 }
 
 run tpu_smoke       900 python tools/tpu_smoke.py
-run ab_indexed_u16 2400 python tools/ab_indexed_u16.py
+run chip_probe     1200 python tools/chip_probe.py          # honest kernel ms (8->32 chains)
+run tune_100k      2400 python tools/tune_pallas.py         # regression re-check of defaults
 run tune_long      2400 python tools/tune_pallas.py --long
-run tune_100k      2400 python tools/tune_pallas.py
-run bench          1800 python bench.py
-run scaling        1200 python tools/scaling_bench.py
+run bench          1800 env BENCH_BUDGET_S=1500 python bench.py
+run scaling        2400 python tools/scaling_bench.py       # THE multi-chip measurement
+run trace          1800 python tools/trace_report.py
 echo "all done; logs in $LOGDIR"
